@@ -1,0 +1,61 @@
+"""Ciphertext type + metadata.
+
+Reference analog: /root/reference src/pke/include/ciphertext.h:60-99
+(CiphertextImpl with m_slots, m_level, m_noiseScaleDeg, m_scalingFactor,
+m_encodingType, m_metadataMap).
+
+A ciphertext is a tuple of `[k, N]` uint32 EVAL residue tensors (k towers at
+the current level) plus static host metadata. Metadata is aux data, so jitted
+pipelines specialize per (level, noise_deg) — a handful of variants — while
+the tensor math stays traced.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class Ciphertext:
+    elements: tuple                         # tuple of [k, N] uint32, EVAL
+    level: int = struct.field(pytree_node=False, default=0)
+    noise_deg: int = struct.field(pytree_node=False, default=1)
+    scale: float = struct.field(pytree_node=False, default=1.0)
+    slots: int = struct.field(pytree_node=False, default=0)
+    key_tag: str = struct.field(pytree_node=False, default="")
+    encoding: str = struct.field(pytree_node=False, default="CKKS_PACKED")
+    # integer scaling factor (BGV/BFV bookkeeping; reference scalingFactorInt)
+    scale_int: int = struct.field(pytree_node=False, default=1)
+
+    @property
+    def num_towers(self) -> int:
+        return self.elements[0].shape[-2]
+
+    @property
+    def size(self) -> int:
+        return len(self.elements)
+
+    def with_elements(self, elements) -> "Ciphertext":
+        return self.replace(elements=tuple(elements))
+
+
+@struct.dataclass
+class Plaintext:
+    """Encoded plaintext: residues + the same metadata family.
+
+    Reference analog: src/pke/include/encoding/plaintext.h. Holds the RNS
+    encoding of the message at a given level/scale plus the host-side
+    decoded view when available.
+    """
+    poly: jnp.ndarray                       # [k, N] uint32
+    fmt: int = struct.field(pytree_node=False, default=1)   # EVAL
+    level: int = struct.field(pytree_node=False, default=0)
+    noise_deg: int = struct.field(pytree_node=False, default=1)
+    scale: float = struct.field(pytree_node=False, default=1.0)
+    slots: int = struct.field(pytree_node=False, default=0)
+    encoding: str = struct.field(pytree_node=False, default="CKKS_PACKED")
+    values: Any = struct.field(pytree_node=False, default=None)  # host view
+    scale_int: int = struct.field(pytree_node=False, default=1)

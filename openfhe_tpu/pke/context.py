@@ -1,0 +1,491 @@
+"""CryptoContext: the user-facing FHE API.
+
+Reference analog: /root/reference src/pke/include/cryptocontext.h:84
+(CryptoContextImpl, 4042 LoC god-object) + gen-cryptocontext.h:88-92
+(GenCryptoContext dispatch) + cryptocontextfactory.h (context dedup cache).
+
+TPU-first architecture: the context is a *host* object holding frozen
+parameter pytrees (bases, conversion tables) and key stores; every Eval* op
+is a thin orchestration over pure jittable kernels. Method names mirror the
+reference (KeyGen/Encrypt/EvalMult/...) so user code ports directly.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openfhe_tpu.lattice import rns_tools as rt
+from openfhe_tpu.lattice.automorph import (coeff_indices, conjugation_index,
+                                           eval_indices,
+                                           rotation_automorphism_index)
+from openfhe_tpu.lattice.basis import Basis, make_basis
+from openfhe_tpu.math import crt
+from openfhe_tpu.math import modops as mo
+from openfhe_tpu.ops.ntt import ntt_fwd, ntt_inv
+from openfhe_tpu.pke import parameters as prm
+from openfhe_tpu.pke.ciphertext import Ciphertext, Plaintext
+from openfhe_tpu.pke.constants import (KeySwitchTechnique, PKESchemeFeature,
+                                       ScalingTechnique, Scheme,
+                                       SecurityLevel)
+from openfhe_tpu.pke.encoding import ckks_packed
+from openfhe_tpu.pke.keys import EvalKey, KeyPair, PrivateKey, PublicKey
+from openfhe_tpu.pke.keyswitch import hybrid
+from openfhe_tpu.pke.schemes import rns_pke
+
+EVAL = 1
+COEFF = 0
+
+
+class CryptoContext:
+    """One instantiated scheme (parameters frozen, tables precomputed)."""
+
+    def __init__(self, params: prm.CCParams, seed: int = 0):
+        params.validate()
+        self.params = params
+        self.scheme = params.scheme
+        self._features = PKESchemeFeature(0)
+        self._rng = jax.random.PRNGKey(seed)
+        self._key_counter = 0
+
+        if self.scheme == Scheme.CKKSRNS_SCHEME:
+            self._init_ckks()
+        elif self.scheme == Scheme.BGVRNS_SCHEME:
+            self._init_bgv()
+        elif self.scheme == Scheme.BFVRNS_SCHEME:
+            self._init_bfv()
+
+        # shared precompute caches (lazy, keyed by sizeQl)
+        self._hybrid_cache: dict = {}
+        self._rescale_cache: dict = {}
+        # eval key stores (reference: static maps keyed by keyTag,
+        # cryptocontext.h:243-245)
+        self.eval_mult_keys: dict = {}
+        self.eval_automorphism_keys: dict = {}
+        self.eval_sum_keys: dict = {}
+
+    # ------------------------------------------------------------------
+    # parameter generation
+    # ------------------------------------------------------------------
+
+    def _init_common(self, moduli_q, extra_log_q: float = 0.0):
+        p = self.params
+        n = p.ring_dim
+        self.moduli_q = list(moduli_q)
+        if p.ks_technique == KeySwitchTechnique.HYBRID:
+            self.moduli_p = prm.select_aux_moduli(
+                n, self.moduli_q, p.num_large_digits, p.aux_mod_size)
+        else:
+            self.moduli_p = []
+        log_q = sum(math.log2(q) for q in self.moduli_q)
+        log_p = sum(math.log2(q) for q in self.moduli_p)
+        prm.validate_security(p, n, log_q + log_p + extra_log_q)
+        self.basis_q = make_basis(self.moduli_q, n)
+        if self.moduli_p:
+            self.basis_p = make_basis(self.moduli_p, n)
+            self.basis_qp = self.basis_q.concat(self.basis_p)
+            big_p = 1
+            for q in self.moduli_p:
+                big_p *= q
+            self.big_p = big_p
+            pm = [big_p % q for q in self.moduli_q] + [0] * len(self.moduli_p)
+            mods = self.moduli_q + self.moduli_p
+            self.p_modq, self.p_modq_sh = rt._shoup_pair(pm, mods)
+        else:
+            self.basis_p = None
+            self.basis_qp = self.basis_q
+            self.big_p = 1
+            self.p_modq = self.p_modq_sh = None
+
+    def _init_ckks(self):
+        p = self.params
+        if p.ring_dim == 0:
+            est_log = (p.first_mod_size + p.mult_depth * p.scaling_mod_size)
+            est_log += est_log / max(1, p.num_large_digits)  # + logP estimate
+            p.ring_dim = prm.derive_ring_dim(p, est_log)
+        self.ring_dim = p.ring_dim
+        self.L = p.mult_depth
+        moduli = prm.select_ckks_moduli(p.ring_dim, p.mult_depth,
+                                        p.scaling_mod_size, p.first_mod_size)
+        self._init_common(moduli)
+        self.delta = float(2 ** p.scaling_mod_size)
+        self.slots = p.batch_size or p.ring_dim // 2
+
+    def _init_bgv(self):
+        from openfhe_tpu.pke.schemes import bgv
+        bgv.init_context(self)
+
+    def _init_bfv(self):
+        from openfhe_tpu.pke.schemes import bfv
+        bfv.init_context(self)
+
+    # ------------------------------------------------------------------
+    # infrastructure
+    # ------------------------------------------------------------------
+
+    def Enable(self, feature: PKESchemeFeature) -> None:
+        self._features |= feature
+
+    def is_enabled(self, feature: PKESchemeFeature) -> bool:
+        return bool(self._features & feature)
+
+    def next_rng(self):
+        self._rng, out = jax.random.split(self._rng)
+        return out
+
+    def GetRingDimension(self) -> int:
+        return self.ring_dim
+
+    def GetCyclotomicOrder(self) -> int:
+        return 2 * self.ring_dim
+
+    def size_ql(self, level: int) -> int:
+        return len(self.moduli_q) - level
+
+    def basis_at(self, level: int) -> Basis:
+        return self.basis_q.slice(0, self.size_ql(level))
+
+    def hybrid_tables(self, size_ql: int) -> hybrid.HybridTables:
+        if size_ql not in self._hybrid_cache:
+            self._hybrid_cache[size_ql] = hybrid.make_hybrid_tables(
+                self.basis_q, self.basis_p, size_ql,
+                self.params.num_large_digits)
+        return self._hybrid_cache[size_ql]
+
+    def rescale_tables(self, size_ql: int) -> rt.DropScaleTables:
+        if size_ql not in self._rescale_cache:
+            self._rescale_cache[size_ql] = rt.make_drop_scale_tables(
+                tuple(self.moduli_q[:size_ql]))
+        return self._rescale_cache[size_ql]
+
+    # ------------------------------------------------------------------
+    # key generation
+    # ------------------------------------------------------------------
+
+    def KeyGen(self) -> KeyPair:
+        self._key_counter += 1
+        tag = f"key-{self._key_counter}"
+        ns = getattr(self, "noise_scale_int", 1)
+        return rns_pke.keygen(self.next_rng(), self.basis_qp,
+                              len(self.moduli_q), tag,
+                              self.params.secret_key_dist,
+                              self.params.standard_deviation, ns_int=ns)
+
+    def KeySwitchGen(self, old_key: PrivateKey,
+                     new_key: PrivateKey) -> EvalKey:
+        ns = getattr(self, "noise_scale_int", 1)
+        return hybrid.keyswitch_gen(
+            self.next_rng(), old_key, new_key, self.basis_qp,
+            len(self.moduli_q), self.params.num_large_digits,
+            self.p_modq, self.p_modq_sh, ns_int=ns)
+
+    def EvalMultKeyGen(self, sk: PrivateKey) -> None:
+        """Relinearization key: s^2 -> s (reference cryptocontext.h:1764)."""
+        b = self.basis_qp
+        s_sq = mo.mul_mod(sk.s_qp, sk.s_qp, b.q, b.r32, b.r32_sh, b.m32)
+        sk2 = PrivateKey(s_qp=s_sq, key_tag=sk.key_tag)
+        self.eval_mult_keys[sk.key_tag] = self.KeySwitchGen(sk2, sk)
+
+    def EvalMultKeysGen(self, sk: PrivateKey) -> None:
+        self.EvalMultKeyGen(sk)
+
+    def _automorphism_keygen(self, sk: PrivateKey, g: int) -> EvalKey:
+        idx = jnp.asarray(eval_indices(self.ring_dim, g))
+        s_g = jnp.take(sk.s_qp, idx, axis=-1)
+        sk_g = PrivateKey(s_qp=s_g, key_tag=sk.key_tag)
+        return self.KeySwitchGen(sk_g, sk)
+
+    def EvalAutomorphismKeyGen(self, sk: PrivateKey, g_list) -> None:
+        store = self.eval_automorphism_keys.setdefault(sk.key_tag, {})
+        for g in g_list:
+            if g not in store:
+                store[g] = self._automorphism_keygen(sk, g)
+
+    def EvalRotateKeyGen(self, sk: PrivateKey, index_list) -> None:
+        """(reference: EvalAtIndexKeyGen / EvalRotateKeyGen)"""
+        gs = [rotation_automorphism_index(r, self.ring_dim)
+              for r in index_list]
+        self.EvalAutomorphismKeyGen(sk, gs)
+
+    EvalAtIndexKeyGen = EvalRotateKeyGen
+
+    def EvalConjugateKeyGen(self, sk: PrivateKey) -> None:
+        self.EvalAutomorphismKeyGen(sk, [conjugation_index(self.ring_dim)])
+
+    # ------------------------------------------------------------------
+    # encoding (CKKS)
+    # ------------------------------------------------------------------
+
+    def MakeCKKSPackedPlaintext(self, values, scale_deg: int = 1,
+                                level: int = 0, slots: int | None = None
+                                ) -> Plaintext:
+        slots = slots or min(self.slots, self.ring_dim // 2)
+        scale = self.delta ** scale_deg
+        size = self.size_ql(level)
+        coeffs = ckks_packed.encode_to_coeffs(values, self.ring_dim, slots,
+                                              scale)
+        res = crt.to_residues_host(coeffs, tuple(self.moduli_q[:size]))
+        poly = ntt_fwd(jnp.asarray(res), self.basis_at(level))
+        return Plaintext(poly=poly, fmt=EVAL, level=level,
+                         noise_deg=scale_deg, scale=scale, slots=slots,
+                         values=np.asarray(values))
+
+    def decode_ckks(self, coeff_residues: np.ndarray, level: int,
+                    scale: float, slots: int) -> np.ndarray:
+        size = coeff_residues.shape[-2]
+        centered = crt.interpolate_centered(coeff_residues,
+                                            tuple(self.moduli_q[:size]))
+        vals = crt.to_float(centered)
+        return ckks_packed.decode_from_coeffs(vals, self.ring_dim, slots,
+                                              scale)
+
+    # ------------------------------------------------------------------
+    # encrypt / decrypt
+    # ------------------------------------------------------------------
+
+    def Encrypt(self, key, plaintext: Plaintext) -> Ciphertext:
+        basis = self.basis_at(plaintext.level)
+        ns = getattr(self, "noise_scale_int", 1)
+        if isinstance(key, KeyPair):
+            key = key.public_key
+        if isinstance(key, PublicKey):
+            c0, c1 = rns_pke.encrypt_zero_pk(
+                self.next_rng(), key, basis,
+                self.params.secret_key_dist, ns_int=ns)
+            tag = key.key_tag
+        else:
+            c0, c1 = rns_pke.encrypt_zero_sk(self.next_rng(), key, basis,
+                                             ns_int=ns)
+            tag = key.key_tag
+        c0 = mo.add_mod(c0, plaintext.poly, basis.q)
+        return Ciphertext(elements=(c0, c1), level=plaintext.level,
+                          noise_deg=plaintext.noise_deg,
+                          scale=plaintext.scale, slots=plaintext.slots,
+                          key_tag=tag, encoding=plaintext.encoding,
+                          scale_int=plaintext.scale_int)
+
+    def Decrypt(self, sk: PrivateKey, ct: Ciphertext) -> Plaintext:
+        basis = self.basis_at(ct.level)
+        b = rns_pke.decrypt_core(ct.elements, sk, basis)
+        if self.scheme == Scheme.CKKSRNS_SCHEME:
+            vals = self.decode_ckks(np.asarray(b), ct.level, ct.scale,
+                                    ct.slots)
+            return Plaintext(poly=b, fmt=COEFF, level=ct.level,
+                             scale=ct.scale, slots=ct.slots, values=vals)
+        from openfhe_tpu.pke.schemes import bfv, bgv
+        if self.scheme == Scheme.BGVRNS_SCHEME:
+            return bgv.decrypt_tail(self, b, ct)
+        return bfv.decrypt_tail(self, b, ct)
+
+    # ------------------------------------------------------------------
+    # leveled ops (reference: base/rns-leveledshe)
+    # ------------------------------------------------------------------
+
+    def _auto(self) -> bool:
+        return self.params.scaling_technique in (
+            ScalingTechnique.FIXEDAUTO, ScalingTechnique.FLEXIBLEAUTO,
+            ScalingTechnique.FLEXIBLEAUTOEXT)
+
+    def _adjust_pair(self, a: Ciphertext, b: Ciphertext):
+        """AdjustLevelsAndDepth (base-leveledshe.cpp): equalize level and
+        noise degree of two ciphertexts before +/-/*."""
+        if self._auto():
+            if a.noise_deg == 2 and b.noise_deg == 1 and a.level <= b.level:
+                a = self.ModReduce(a)
+            if b.noise_deg == 2 and a.noise_deg == 1 and b.level <= a.level:
+                b = self.ModReduce(b)
+        while a.level < b.level:
+            a = self.LevelReduce(a, b.level - a.level)
+        while b.level < a.level:
+            b = self.LevelReduce(b, a.level - b.level)
+        return a, b
+
+    def EvalAdd(self, a, b) -> Ciphertext:
+        if isinstance(b, (int, float, complex)) and not isinstance(b, bool):
+            return self._eval_add_scalar(a, b)
+        if isinstance(b, Plaintext):
+            return self._eval_add_plain(a, b)
+        a, b = self._adjust_pair(a, b)
+        basis = self.basis_at(a.level)
+        n = max(len(a.elements), len(b.elements))
+        elems = []
+        for i in range(n):
+            if i < len(a.elements) and i < len(b.elements):
+                elems.append(mo.add_mod(a.elements[i], b.elements[i], basis.q))
+            else:
+                elems.append(a.elements[i] if i < len(a.elements)
+                             else b.elements[i])
+        return a.replace(elements=tuple(elems))
+
+    def EvalSub(self, a, b) -> Ciphertext:
+        if isinstance(b, (int, float, complex)) and not isinstance(b, bool):
+            return self._eval_add_scalar(a, -b)
+        if isinstance(b, Plaintext):
+            return self._eval_add_plain(a, b, negate=True)
+        a, b = self._adjust_pair(a, b)
+        basis = self.basis_at(a.level)
+        n = max(len(a.elements), len(b.elements))
+        elems = []
+        for i in range(n):
+            if i < len(a.elements) and i < len(b.elements):
+                elems.append(mo.sub_mod(a.elements[i], b.elements[i], basis.q))
+            elif i < len(a.elements):
+                elems.append(a.elements[i])
+            else:
+                elems.append(mo.neg_mod(b.elements[i], basis.q))
+        return a.replace(elements=tuple(elems))
+
+    def EvalNegate(self, a: Ciphertext) -> Ciphertext:
+        basis = self.basis_at(a.level)
+        return a.replace(elements=tuple(mo.neg_mod(c, basis.q)
+                                        for c in a.elements))
+
+    def _encode_like(self, ct: Ciphertext, values) -> Plaintext:
+        return self.MakeCKKSPackedPlaintext(
+            np.broadcast_to(np.asarray(values, np.complex128), (ct.slots,)),
+            scale_deg=ct.noise_deg, level=ct.level, slots=ct.slots)
+
+    def _eval_add_plain(self, ct: Ciphertext, pt: Plaintext,
+                        negate: bool = False) -> Ciphertext:
+        if pt.level != ct.level or pt.noise_deg != ct.noise_deg:
+            pt = self.MakeCKKSPackedPlaintext(
+                pt.values, scale_deg=ct.noise_deg, level=ct.level,
+                slots=ct.slots)
+        basis = self.basis_at(ct.level)
+        op = mo.sub_mod if negate else mo.add_mod
+        c0 = op(ct.elements[0], pt.poly, basis.q)
+        return ct.replace(elements=(c0,) + ct.elements[1:])
+
+    def _eval_add_scalar(self, ct: Ciphertext, s) -> Ciphertext:
+        pt = self._encode_like(ct, s)
+        return self._eval_add_plain(ct, pt)
+
+    def EvalMultNoRelin(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """Tensor product (c0d0, c0d1+c1d0, c1d1)."""
+        if self._auto():
+            if a.noise_deg == 2:
+                a = self.ModReduce(a)
+            if b.noise_deg == 2:
+                b = self.ModReduce(b)
+        a, b = self._adjust_pair(a, b)
+        basis = self.basis_at(a.level)
+        mm = lambda x, y: mo.mul_mod(x, y, basis.q, basis.r32, basis.r32_sh,
+                                     basis.m32)
+        a0, a1 = a.elements[0], a.elements[1]
+        b0, b1 = b.elements[0], b.elements[1]
+        c0 = mm(a0, b0)
+        c1 = mo.add_mod(mm(a0, b1), mm(a1, b0), basis.q)
+        c2 = mm(a1, b1)
+        return a.replace(elements=(c0, c1, c2), noise_deg=a.noise_deg + b.noise_deg,
+                         scale=a.scale * b.scale,
+                         scale_int=a.scale_int * b.scale_int)
+
+    def Relinearize(self, ct: Ciphertext) -> Ciphertext:
+        if len(ct.elements) == 2:
+            return ct
+        assert len(ct.elements) == 3, "relin beyond degree 2 via chain"
+        ek = self.eval_mult_keys[ct.key_tag]
+        tabs = self.hybrid_tables(self.size_ql(ct.level))
+        d0, d1 = hybrid.keyswitch_core(ct.elements[2], ek, tabs)
+        basis = tabs.basis_ql
+        c0 = mo.add_mod(ct.elements[0], d0, basis.q)
+        c1 = mo.add_mod(ct.elements[1], d1, basis.q)
+        return ct.replace(elements=(c0, c1))
+
+    def EvalMult(self, a, b) -> Ciphertext:
+        if isinstance(b, (int, float, complex)) and not isinstance(b, bool):
+            return self._eval_mult_plain(a, self._encode_like_mult(a, b))
+        if isinstance(b, Plaintext):
+            return self._eval_mult_plain(a, b)
+        return self.Relinearize(self.EvalMultNoRelin(a, b))
+
+    def EvalSquare(self, a: Ciphertext) -> Ciphertext:
+        return self.EvalMult(a, a)
+
+    def _encode_like_mult(self, ct: Ciphertext, values) -> Plaintext:
+        return self.MakeCKKSPackedPlaintext(
+            np.broadcast_to(np.asarray(values, np.complex128), (ct.slots,)),
+            scale_deg=1, level=ct.level, slots=ct.slots)
+
+    def _eval_mult_plain(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+        if self._auto() and ct.noise_deg == 2:
+            ct = self.ModReduce(ct)
+        if pt.level != ct.level:
+            pt = self.MakeCKKSPackedPlaintext(pt.values, scale_deg=1,
+                                              level=ct.level, slots=ct.slots)
+        basis = self.basis_at(ct.level)
+        mm = lambda x: mo.mul_mod(x, pt.poly, basis.q, basis.r32,
+                                  basis.r32_sh, basis.m32)
+        return ct.replace(elements=tuple(mm(c) for c in ct.elements),
+                          noise_deg=ct.noise_deg + pt.noise_deg,
+                          scale=ct.scale * pt.scale,
+                          scale_int=ct.scale_int * pt.scale_int)
+
+    # ------------------------------------------------------------------
+    # rescaling / level management (reference: rns-leveledshe.cpp:186-390)
+    # ------------------------------------------------------------------
+
+    def ModReduce(self, ct: Ciphertext, levels: int = 1) -> Ciphertext:
+        """CKKS rescale / BGV modulus reduction by `levels` towers."""
+        for _ in range(levels):
+            size = self.size_ql(ct.level)
+            basis = self.basis_at(ct.level)
+            tab = self.rescale_tables(size)
+            from openfhe_tpu.lattice.dcrt import Poly
+            new_elems = tuple(
+                rt.drop_last_and_scale(Poly(c, EVAL), basis, tab).data
+                for c in ct.elements)
+            ql = self.moduli_q[size - 1]
+            ct = ct.replace(elements=new_elems, level=ct.level + 1,
+                            noise_deg=max(1, ct.noise_deg - 1),
+                            scale=ct.scale / ql)
+        return ct
+
+    Rescale = ModReduce
+    RescaleInPlace = ModReduce
+
+    def LevelReduce(self, ct: Ciphertext, levels: int = 1) -> Ciphertext:
+        """Drop towers without scaling (reference LevelReduce)."""
+        size = self.size_ql(ct.level) - levels
+        return ct.replace(
+            elements=tuple(c[..., :size, :] for c in ct.elements),
+            level=ct.level + levels)
+
+    def Compress(self, ct: Ciphertext, towers_left: int = 1) -> Ciphertext:
+        """Reduce to `towers_left` towers before transmission
+        (reference cryptocontext.h:2581)."""
+        if ct.noise_deg == 2:
+            ct = self.ModReduce(ct)
+        drop = self.size_ql(ct.level) - towers_left
+        return self.LevelReduce(ct, drop) if drop > 0 else ct
+
+    # ------------------------------------------------------------------
+    # rotations (reference EvalRotate/EvalAtIndex, cryptocontext.h:2302)
+    # ------------------------------------------------------------------
+
+    def EvalAutomorphism(self, ct: Ciphertext, g: int) -> Ciphertext:
+        idx = jnp.asarray(eval_indices(self.ring_dim, g))
+        rot = [jnp.take(c, idx, axis=-1) for c in ct.elements]
+        ek = self.eval_automorphism_keys[ct.key_tag][g]
+        tabs = self.hybrid_tables(self.size_ql(ct.level))
+        d0, d1 = hybrid.keyswitch_core(rot[1], ek, tabs)
+        basis = tabs.basis_ql
+        return ct.replace(elements=(mo.add_mod(rot[0], d0, basis.q), d1))
+
+    def EvalRotate(self, ct: Ciphertext, index: int) -> Ciphertext:
+        g = rotation_automorphism_index(index, self.ring_dim)
+        return self.EvalAutomorphism(ct, g)
+
+    EvalAtIndex = EvalRotate
+
+    def EvalConjugate(self, ct: Ciphertext) -> Ciphertext:
+        return self.EvalAutomorphism(ct, conjugation_index(self.ring_dim))
+
+
+def GenCryptoContext(params: prm.CCParams, seed: int = 0) -> CryptoContext:
+    """(reference: gen-cryptocontext.h:88-92)"""
+    return CryptoContext(params, seed=seed)

@@ -1,0 +1,178 @@
+"""HYBRID (GHS) key switching — the hottest non-NTT path.
+
+Reference analog: /root/reference src/pke/lib/keyswitch/keyswitch-hybrid.cpp
+(KeySwitchGenInternal :60-130, EvalKeySwitchPrecomputeCore,
+EvalFastKeySwitchCore(Ext), ApproxModDown epilogue) and the partition tables
+in CryptoParametersRNS (rns-cryptoparameters.h:267-376).
+
+Recipe (eprint 2021/204 appendix):
+  * KeyGen digit j: b_j = -a_j*s_new + ns*e_j + P*s_old*mask_j over QP, where
+    mask_j zeroes every tower outside digit j — the CRT mask replaces any
+    explicit QHat factor.
+  * Switch: digit j of ciphertext c = raw extension of [c]_{Q_j} from the
+    digit's towers to the full Q_l*P basis (ApproxModUp); inner product with
+    the key digits; ApproxModDown divides by P.
+
+TPU-first: digits are `[k, N]` tensors; the per-digit OpenMP loops become
+batched tensor ops; the digit inner product is a statically unrolled
+multiply-accumulate that XLA fuses. Multi-chip: the tower axis shards over
+the mesh; ApproxSwitchCRTBasis is the only cross-tower mixing point.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from openfhe_tpu.lattice.basis import Basis
+from openfhe_tpu.lattice import rns_tools as rt
+from openfhe_tpu.math import modops as mo
+from openfhe_tpu.math import sampling
+from openfhe_tpu.ops.ntt import ntt_fwd, ntt_inv
+from openfhe_tpu.pke.keys import EvalKey, PrivateKey
+
+
+@struct.dataclass
+class PartTables:
+    """Per-digit conversion tables at one level."""
+    switch: rt.SwitchTables
+    digit_basis: Basis
+    compl_basis: Basis
+    start: int = struct.field(pytree_node=False)
+    end: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class HybridTables:
+    """All hybrid-KS tables for one ciphertext level (sizeQl towers)."""
+    parts: tuple                 # tuple[PartTables]
+    moddown: rt.ModDownTables
+    basis_ql: Basis
+    basis_p: Basis
+    basis_qlp: Basis
+    size_ql: int = struct.field(pytree_node=False)
+    k_q_full: int = struct.field(pytree_node=False)
+
+
+def make_hybrid_tables(basis_q: Basis, basis_p: Basis, size_ql: int,
+                       num_parts_full: int) -> HybridTables:
+    """Host precompute for level with `size_ql` towers (reference:
+    rns-cryptoparameters.h m_paramsPartQ / m_paramsComplPartQ tables)."""
+    k_full = len(basis_q.moduli)
+    alpha = -(-k_full // num_parts_full)
+    q_mods = basis_q.moduli[:size_ql]
+    p_mods = basis_p.moduli
+    basis_ql = basis_q.slice(0, size_ql)
+    num_parts = min(-(-size_ql // alpha), num_parts_full)
+    parts = []
+    for j in range(num_parts):
+        start = j * alpha
+        end = min(start + alpha, size_ql)
+        digit_mods = q_mods[start:end]
+        compl_mods = q_mods[:start] + q_mods[end:] + p_mods
+        digit_basis = basis_q.slice(start, end)
+        compl_basis = (basis_q.slice(0, start)
+                       .concat(basis_q.slice(end, size_ql))
+                       .concat(basis_p))
+        parts.append(PartTables(
+            switch=rt.make_switch_tables(digit_mods, compl_mods),
+            digit_basis=digit_basis, compl_basis=compl_basis,
+            start=start, end=end))
+    return HybridTables(
+        parts=tuple(parts),
+        moddown=rt.make_mod_down_tables(p_mods, q_mods),
+        basis_ql=basis_ql, basis_p=basis_p,
+        basis_qlp=basis_ql.concat(basis_p),
+        size_ql=size_ql, k_q_full=k_full)
+
+
+def keyswitch_gen(rng, s_old: PrivateKey, s_new: PrivateKey,
+                  basis_qp: Basis, k_q: int, num_parts: int,
+                  p_modq, p_modq_sh, ns_int: int = 1) -> EvalKey:
+    """Generate the hybrid KS key s_old -> s_new over QP.
+
+    p_modq(+_sh): [P mod q_i] per Q tower, zero-padded over P towers.
+    ns_int: noise scale (1 for CKKS/BFV, plaintext modulus t for BGV).
+    """
+    k_qp = len(basis_qp.moduli)
+    n = basis_qp.ring_dim
+    alpha = -(-k_q // num_parts)
+    bs, as_ = [], []
+    for part in range(num_parts):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        a = sampling.uniform_residues(k1, basis_qp)            # EVAL-uniform
+        e = sampling.to_residues(
+            sampling.discrete_gaussian(k2, (n,)), basis_qp)
+        e = ntt_fwd(e, basis_qp)
+        if ns_int != 1:
+            ns_c, ns_sh = rt._shoup_pair(
+                [ns_int % q for q in basis_qp.moduli], basis_qp.moduli)
+            e = mo.mul_mod_shoup(e, ns_c, ns_sh, basis_qp.q)
+        b = mo.sub_mod(e, mo.mul_mod(a, s_new.s_qp, basis_qp.q, basis_qp.r32,
+                                     basis_qp.r32_sh, basis_qp.m32),
+                       basis_qp.q)
+        # + P * s_old on this digit's towers only (the CRT mask)
+        start, end = alpha * part, min(alpha * (part + 1), k_q)
+        ps_old = mo.mul_mod_shoup(s_old.s_qp, p_modq, p_modq_sh, basis_qp.q)
+        row_ids = jnp.arange(k_qp)[:, None]
+        mask = (row_ids >= start) & (row_ids < end)
+        b = jnp.where(mask, mo.add_mod(b, ps_old, basis_qp.q), b)
+        bs.append(b)
+        as_.append(a)
+    return EvalKey(bv=jnp.stack(bs), av=jnp.stack(as_),
+                   key_tag=s_new.key_tag)
+
+
+def _decompose_digits(c: jnp.ndarray, tabs: HybridTables) -> list:
+    """EvalKeySwitchPrecomputeCore: per digit, extend [c]_{Q_j} to Q_l*P.
+
+    c: [kQl, N] EVAL. Returns list of [kQl + kP, N] EVAL tensors.
+    """
+    size_ql = tabs.size_ql
+    digits = []
+    for pt in tabs.parts:
+        own_eval = c[pt.start:pt.end]
+        own_coeff = ntt_inv(own_eval, pt.digit_basis)
+        conv = rt.switch_crt_basis_approx(own_coeff, pt.digit_basis,
+                                          pt.compl_basis, pt.switch)
+        conv = ntt_fwd(conv, pt.compl_basis)
+        n_before = pt.start
+        n_after = size_ql - pt.end
+        pieces = [conv[:n_before], own_eval,
+                  conv[n_before:n_before + n_after], conv[n_before + n_after:]]
+        digits.append(jnp.concatenate([p for p in pieces if p.shape[0] > 0],
+                                      axis=0))
+    return digits
+
+
+def _fast_core_ext(digits: list, ek: EvalKey, tabs: HybridTables):
+    """EvalFastKeySwitchCoreExt: (sum_j d_j*b_j, sum_j d_j*a_j) over Q_l*P."""
+    bqlp = tabs.basis_qlp
+    size_ql, k_q_full = tabs.size_ql, tabs.k_q_full
+
+    def key_slice(arr, j):
+        return jnp.concatenate([arr[j, :size_ql], arr[j, k_q_full:]], axis=0)
+
+    acc0 = acc1 = None
+    for j, d in enumerate(digits):
+        t0 = mo.mul_mod(d, key_slice(ek.bv, j), bqlp.q, bqlp.r32,
+                        bqlp.r32_sh, bqlp.m32)
+        t1 = mo.mul_mod(d, key_slice(ek.av, j), bqlp.q, bqlp.r32,
+                        bqlp.r32_sh, bqlp.m32)
+        acc0 = t0 if acc0 is None else mo.add_mod(acc0, t0, bqlp.q)
+        acc1 = t1 if acc1 is None else mo.add_mod(acc1, t1, bqlp.q)
+    return acc0, acc1
+
+
+def keyswitch_core(c: jnp.ndarray, ek: EvalKey, tabs: HybridTables):
+    """Full KeySwitchCore on one polynomial (usually ct[last]):
+    returns (delta0, delta1) over Q_l in EVAL."""
+    digits = _decompose_digits(c, tabs)
+    ext0, ext1 = _fast_core_ext(digits, ek, tabs)
+    size_ql = tabs.size_ql
+    out0 = rt.approx_mod_down(ext0[:size_ql], ext0[size_ql:], tabs.basis_ql,
+                              tabs.basis_p, tabs.moddown)
+    out1 = rt.approx_mod_down(ext1[:size_ql], ext1[size_ql:], tabs.basis_ql,
+                              tabs.basis_p, tabs.moddown)
+    return out0, out1

@@ -1,0 +1,176 @@
+"""CCParams parameter objects + modulus-chain generation.
+
+Reference analog: /root/reference
+src/pke/include/gen-cryptocontext-params.h:368-461 (the ~40 user knobs),
+gen-cryptocontext-params-defaults.h (per-scheme defaults),
+gen-cryptocontext-params-validation.cpp (central validation), and the
+per-scheme parameter generation
+(src/pke/lib/scheme/ckksrns/ckksrns-parametergeneration.cpp:57-135,
+bfvrns-parametergeneration.cpp, bgvrns-parametergeneration.cpp).
+
+TPU-first divergence: all device arithmetic is 32-bit (TPU lanes have no
+64-bit multiply), so moduli are < 2^31. Defaults mirror the reference's
+NATIVE_SIZE=32 configuration: scalingModSize <= 28, firstModSize <= 30.
+Composite-scaling (reference COMPOSITESCALING*) restores high-precision CKKS
+on small words and is the planned default for precision-sensitive work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+from openfhe_tpu.math import nbtheory
+from openfhe_tpu.pke.constants import (EncryptionTechnique, ExecutionMode,
+                                       KeySwitchTechnique,
+                                       MultipartyMode,
+                                       MultiplicationTechnique,
+                                       ProxyReEncryptionMode, ScalingTechnique,
+                                       Scheme, SecretKeyDist, SecurityLevel,
+                                       DecryptionNoiseMode)
+from openfhe_tpu.lattice import stdlatticeparms
+
+MAX_MODULUS_BITS = 31          # device lanes are uint32; q < 2^31
+DEFAULT_AUX_MOD_BITS = 30      # special-prime (P) size for hybrid KS
+
+
+@dataclasses.dataclass
+class CCParams:
+    """Scheme parameter builder (reference: CCParams<CryptoContext*RNS>)."""
+    scheme: Scheme = Scheme.CKKSRNS_SCHEME
+    # ring / depth
+    ring_dim: int = 0                          # 0 = derive from security level
+    mult_depth: int = 1
+    scaling_mod_size: int = 28
+    first_mod_size: int = 30
+    batch_size: int = 0                        # 0 = max slots
+    # security
+    security_level: SecurityLevel = SecurityLevel.HEStd_128_classic
+    secret_key_dist: SecretKeyDist = SecretKeyDist.UNIFORM_TERNARY
+    standard_deviation: float = 3.19
+    # key switching
+    ks_technique: KeySwitchTechnique = KeySwitchTechnique.HYBRID
+    num_large_digits: int = 3
+    digit_size: int = 0                        # BV relin window (bits)
+    aux_mod_size: int = DEFAULT_AUX_MOD_BITS
+    # scaling / mult technique
+    scaling_technique: ScalingTechnique = ScalingTechnique.FLEXIBLEAUTO
+    multiplication_technique: MultiplicationTechnique = (
+        MultiplicationTechnique.HPS)
+    encryption_technique: EncryptionTechnique = EncryptionTechnique.STANDARD
+    # BFV/BGV
+    plaintext_modulus: int = 0
+    max_relin_sk_deg: int = 2
+    # multiparty / PRE
+    pre_mode: ProxyReEncryptionMode = ProxyReEncryptionMode.INDCPA
+    multiparty_mode: MultipartyMode = MultipartyMode.FIXED_NOISE_MULTIPARTY
+    threshold_num_of_parties: int = 1
+    # misc (reference parity)
+    execution_mode: ExecutionMode = ExecutionMode.EXEC_EVALUATION
+    decryption_noise_mode: DecryptionNoiseMode = (
+        DecryptionNoiseMode.FIXED_NOISE_DECRYPT)
+    noise_estimate: float = 0.0
+    desired_precision: float = 25.0
+    composite_degree: int = 1
+    register_word_size: int = 32
+    evaluation_ks_count: int = 0
+    # functional knobs retained for parity
+    num_adversarial_queries: int = 0
+    interactive_boot_compression_level: str = "SLACK"
+
+    def validate(self) -> None:
+        """Central validation (reference:
+        gen-cryptocontext-params-validation.cpp)."""
+        if self.scaling_mod_size > 28 and self.scheme == Scheme.CKKSRNS_SCHEME:
+            raise ValueError(
+                "scaling_mod_size > 28 unsupported on 32-bit TPU lanes; use "
+                "composite scaling (composite_degree > 1)")
+        if self.first_mod_size >= MAX_MODULUS_BITS:
+            raise ValueError("first_mod_size must be < 31")
+        if self.scheme != Scheme.CKKSRNS_SCHEME and not self.plaintext_modulus:
+            raise ValueError("plaintext_modulus required for BFV/BGV")
+        if self.ks_technique == KeySwitchTechnique.BV and self.digit_size == 0:
+            # reference allows 0 (= RNS decomposition per tower)
+            pass
+        if self.num_large_digits < 1:
+            raise ValueError("num_large_digits must be >= 1")
+
+
+def _distinct_prime_chain(order: int, bit_sizes, forbidden=()) -> list:
+    """Primes = 1 mod order with the given bit sizes, all distinct."""
+    used = set(forbidden)
+    out = []
+    for bits in bit_sizes:
+        q = nbtheory.first_prime(bits, order)
+        while q in used:
+            q = nbtheory.next_prime(q, order)
+        used.add(q)
+        out.append(q)
+    return out
+
+
+def select_ckks_moduli(n: int, mult_depth: int, scaling_mod_size: int,
+                       first_mod_size: int, forbidden=()) -> list:
+    """CKKS modulus chain: q0 (first_mod_size bits) + mult_depth scaling
+    primes alternating above/below 2^scaling_mod_size to keep the running
+    product of scales near 2^(depth*p) (reference:
+    ckksrns-parametergeneration.cpp strategy)."""
+    order = 2 * n
+    used = set(forbidden)
+    q0 = nbtheory.first_prime(first_mod_size, order)
+    while q0 in used:
+        q0 = nbtheory.next_prime(q0, order)
+    used.add(q0)
+    chain = [q0]
+    target = 1 << scaling_mod_size
+    up = target + 1
+    down = target + 1
+    log_drift = 0.0  # sum of log2(q_i / 2^p)
+    for _ in range(mult_depth):
+        if log_drift <= 0:
+            q = nbtheory.next_prime(up - 1, order)
+            while q in used:
+                q = nbtheory.next_prime(q, order)
+            up = q + 1
+        else:
+            q = nbtheory.previous_prime(down, order)
+            while q in used:
+                q = nbtheory.previous_prime(q, order)
+            down = q
+        used.add(q)
+        chain.append(q)
+        log_drift += math.log2(q) - scaling_mod_size
+    return chain
+
+
+def select_aux_moduli(n: int, q_moduli, num_large_digits: int,
+                      aux_mod_bits: int = DEFAULT_AUX_MOD_BITS) -> list:
+    """Special primes P for hybrid KS: log P >= max digit size (reference:
+    CryptoParametersRNS::EstimateLogP, rns-cryptoparameters.h)."""
+    order = 2 * n
+    k = len(q_moduli)
+    alpha = -(-k // num_large_digits)
+    max_digit_bits = 0
+    for j in range(num_large_digits):
+        bits = sum(math.log2(q) for q in q_moduli[j * alpha:(j + 1) * alpha])
+        max_digit_bits = max(max_digit_bits, bits)
+    size_p = max(1, math.ceil(max_digit_bits / aux_mod_bits))
+    return _distinct_prime_chain(order, [aux_mod_bits] * size_p,
+                                 forbidden=q_moduli)
+
+
+def derive_ring_dim(params: CCParams, log_qp: float) -> int:
+    dist = (stdlatticeparms.TERNARY
+            if params.secret_key_dist != SecretKeyDist.GAUSSIAN
+            else stdlatticeparms.ERROR)
+    return stdlatticeparms.find_ring_dim(dist, params.security_level,
+                                         math.ceil(log_qp))
+
+
+def validate_security(params: CCParams, n: int, log_qp: float) -> None:
+    dist = (stdlatticeparms.TERNARY
+            if params.secret_key_dist != SecretKeyDist.GAUSSIAN
+            else stdlatticeparms.ERROR)
+    stdlatticeparms.validate(dist, params.security_level, n,
+                             math.ceil(log_qp))
