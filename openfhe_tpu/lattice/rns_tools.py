@@ -16,6 +16,7 @@ chain. (A future MXU path decomposes into 8-bit limb matmuls.)
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -88,14 +89,29 @@ def switch_crt_basis_approx(x: jnp.ndarray, in_basis: Basis,
 
     x: [..., k_in, N] COEFF residues in basis B; returns [..., k_out, N].
     """
-    k_in = x.shape[-2]
     y = mo.mul_mod_shoup(x, tab.bhat_inv, tab.bhat_inv_sh, in_basis.q)
-    acc = jnp.zeros(x.shape[:-2] + (len(out_basis.moduli), x.shape[-1]),
-                    jnp.uint32)
-    for i in range(k_in):
-        term = mo.mul_mod_shoup(y[..., i:i + 1, :], tab.bhat_mod_d[i],
-                                tab.bhat_mod_d_sh[i], out_basis.q)
-        acc = mo.add_mod(acc, term, out_basis.q)
+    return _accumulate_converted(y, tab, out_basis)
+
+
+def _accumulate_converted(y: jnp.ndarray, tab: SwitchTables,
+                          out_basis: Basis) -> jnp.ndarray:
+    """sum_i y_i * [B/b_i]_{d_j} mod d_j as a compact lax.scan over input
+    towers (keeps the XLA graph small; each step is a fused [k_out, N]
+    Shoup multiply-accumulate)."""
+    k_out = len(out_basis.moduli)
+    n = y.shape[-1]
+    lead = y.shape[:-2]
+    acc0 = jnp.zeros(lead + (k_out, n), jnp.uint32)
+    # move the input-tower axis to the front for scan
+    ys = jnp.moveaxis(y[..., None, :], -3, 0)          # [k_in, *lead, 1, N]
+
+    def body(acc, xs):
+        yi, c, c_sh = xs
+        term = mo.mul_mod_shoup(yi, c, c_sh, out_basis.q)
+        return mo.add_mod(acc, term, out_basis.q), None
+
+    acc, _ = jax.lax.scan(body, acc0,
+                          (ys, tab.bhat_mod_d, tab.bhat_mod_d_sh))
     return acc
 
 
@@ -107,17 +123,11 @@ def switch_crt_basis_exact(x: jnp.ndarray, in_basis: Basis,
     Kahan compensation (reference uses double; moduli here are < 2^31 so the
     f32 error stays well below the rounding slack for typical k).
     """
-    k_in = x.shape[-2]
     y = mo.mul_mod_shoup(x, tab.bhat_inv, tab.bhat_inv_sh, in_basis.q)
     # overflow count: u = floor(sum y_i / b_i), 0 <= u < k_in
     frac = y.astype(jnp.float32) * tab.b_inv_f32[..., :, None]
     u = jnp.floor(jnp.sum(frac, axis=-2, keepdims=True)).astype(jnp.uint32)
-    acc = jnp.zeros(x.shape[:-2] + (len(out_basis.moduli), x.shape[-1]),
-                    jnp.uint32)
-    for i in range(k_in):
-        term = mo.mul_mod_shoup(y[..., i:i + 1, :], tab.bhat_mod_d[i],
-                                tab.bhat_mod_d_sh[i], out_basis.q)
-        acc = mo.add_mod(acc, term, out_basis.q)
+    acc = _accumulate_converted(y, tab, out_basis)
     corr = mo.mul_mod_shoup(u, tab.b_mod_d, tab.b_mod_d_sh, out_basis.q)
     return mo.sub_mod(acc, corr, out_basis.q)
 
@@ -194,6 +204,7 @@ def make_drop_scale_tables(moduli) -> DropScaleTables:
                            ql_half_modqi=c, ql_half_modqi_sh=c_sh)
 
 
+@jax.jit
 def drop_last_and_scale(x: Poly, basis: Basis, tab: DropScaleTables) -> Poly:
     """round(x / q_l) over Q_{l-1} per coefficient (CKKS rescale step).
 

@@ -21,12 +21,14 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from openfhe_tpu.lattice.basis import Basis
 from openfhe_tpu.math.modops import add_mod, sub_mod, mul_mod_shoup
 
 
+@jax.jit
 def ntt_fwd(x: jnp.ndarray, b: Basis) -> jnp.ndarray:
     """Negacyclic forward NTT: COEFF (natural order) -> EVAL (bit-reversed).
 
@@ -49,6 +51,7 @@ def ntt_fwd(x: jnp.ndarray, b: Basis) -> jnp.ndarray:
     return x
 
 
+@jax.jit
 def ntt_inv(x: jnp.ndarray, b: Basis) -> jnp.ndarray:
     """Negacyclic inverse NTT: EVAL (bit-reversed) -> COEFF (natural order)."""
     n = b.ring_dim

@@ -165,6 +165,7 @@ def _fast_core_ext(digits: list, ek: EvalKey, tabs: HybridTables):
     return acc0, acc1
 
 
+@jax.jit
 def keyswitch_core(c: jnp.ndarray, ek: EvalKey, tabs: HybridTables):
     """Full KeySwitchCore on one polynomial (usually ct[last]):
     returns (delta0, delta1) over Q_l in EVAL."""

@@ -7,6 +7,8 @@ src/pke/lib/schemerns/rns-pke.cpp. Shared by CKKS/BFV/BGV.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -53,6 +55,7 @@ def _mul_const_int(x, c: int, basis: Basis):
     return mo.mul_mod_shoup(x, cc, cc_sh, basis.q)
 
 
+@functools.partial(jax.jit, static_argnames=("secret_key_dist", "ns_int"))
 def encrypt_zero_pk(rng, pk: PublicKey, basis_ql: Basis,
                     secret_key_dist=SecretKeyDist.UNIFORM_TERNARY,
                     ns_int: int = 1):
@@ -79,6 +82,7 @@ def encrypt_zero_pk(rng, pk: PublicKey, basis_ql: Basis,
     return c0, c1
 
 
+@functools.partial(jax.jit, static_argnames=("ns_int",))
 def encrypt_zero_sk(rng, sk: PrivateKey, basis_ql: Basis,
                     ns_int: int = 1):
     """(c0, c1) = (ns*e - a*s, a) over Q_l, EVAL format."""
@@ -95,6 +99,7 @@ def encrypt_zero_sk(rng, sk: PrivateKey, basis_ql: Basis,
     return c0, a
 
 
+@jax.jit
 def decrypt_core(elements, sk: PrivateKey, basis_ql: Basis) -> jnp.ndarray:
     """b = c0 + c1*s + c2*s^2 + ... -> COEFF residues [k, N]."""
     k = elements[0].shape[-2]
