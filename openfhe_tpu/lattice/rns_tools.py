@@ -139,20 +139,35 @@ def switch_crt_basis_exact(x: jnp.ndarray, in_basis: Basis,
 
 @struct.dataclass
 class ModDownTables:
-    """P -> Q mod-down: switch tables for P->Q plus P^{-1} mod q_i."""
+    """P -> Q mod-down: switch tables for P->Q plus P^{-1} mod q_i.
+
+    For BGV (noise scale t != 1) the rounding error must stay divisible by
+    t (reference ApproxModDown's tInvModp/t arguments): the P-part is
+    multiplied by t^{-1} mod P before conversion and by t mod Q after.
+    """
     switch: SwitchTables
     pinv_modq: jnp.ndarray
     pinv_modq_sh: jnp.ndarray
+    tinv_modp: jnp.ndarray | None = None
+    tinv_modp_sh: jnp.ndarray | None = None
+    t_modq: jnp.ndarray | None = None
+    t_modq_sh: jnp.ndarray | None = None
 
 
-def make_mod_down_tables(p_moduli, q_moduli) -> ModDownTables:
+def make_mod_down_tables(p_moduli, q_moduli, t: int = 1) -> ModDownTables:
     big_p = 1
     for p in p_moduli:
         big_p *= p
     pinv = [pow(big_p % q, -1, q) for q in q_moduli]
     c, c_sh = _shoup_pair(pinv, q_moduli)
+    kw = {}
+    if t != 1:
+        a, a_sh = _shoup_pair([pow(t % p, -1, p) for p in p_moduli],
+                              p_moduli)
+        b, b_sh = _shoup_pair([t % q for q in q_moduli], q_moduli)
+        kw = dict(tinv_modp=a, tinv_modp_sh=a_sh, t_modq=b, t_modq_sh=b_sh)
     return ModDownTables(switch=make_switch_tables(p_moduli, q_moduli),
-                         pinv_modq=c, pinv_modq_sh=c_sh)
+                         pinv_modq=c, pinv_modq_sh=c_sh, **kw)
 
 
 def approx_mod_down(x_q: jnp.ndarray, x_p: jnp.ndarray, q_basis: Basis,
@@ -166,7 +181,12 @@ def approx_mod_down(x_q: jnp.ndarray, x_p: jnp.ndarray, q_basis: Basis,
         x_p_coeff = ntt_inv(x_p, p_basis)
     else:
         x_p_coeff = x_p
+    if tab.tinv_modp is not None:
+        x_p_coeff = mo.mul_mod_shoup(x_p_coeff, tab.tinv_modp,
+                                     tab.tinv_modp_sh, p_basis.q)
     conv = switch_crt_basis_approx(x_p_coeff, p_basis, q_basis, tab.switch)
+    if tab.t_modq is not None:
+        conv = mo.mul_mod_shoup(conv, tab.t_modq, tab.t_modq_sh, q_basis.q)
     if fmt == EVAL:
         conv = ntt_fwd(conv, q_basis)
     diff = mo.sub_mod(x_q, conv, q_basis.q)

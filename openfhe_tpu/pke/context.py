@@ -153,7 +153,8 @@ class CryptoContext:
         if size_ql not in self._hybrid_cache:
             self._hybrid_cache[size_ql] = hybrid.make_hybrid_tables(
                 self.basis_q, self.basis_p, size_ql,
-                self.params.num_large_digits)
+                self.params.num_large_digits,
+                ns_int=getattr(self, "noise_scale_int", 1))
         return self._hybrid_cache[size_ql]
 
     def rescale_tables(self, size_ql: int) -> rt.DropScaleTables:
@@ -234,6 +235,38 @@ class CryptoContext:
                          noise_deg=scale_deg, scale=scale, slots=slots,
                          values=np.asarray(values))
 
+    def MakePackedPlaintext(self, values, noise_deg: int = 1,
+                            level: int = 0) -> Plaintext:
+        """Integer SIMD packing (reference: MakePackedPlaintext)."""
+        if self.scheme == Scheme.BGVRNS_SCHEME:
+            from openfhe_tpu.pke.schemes import bgv
+            return bgv.make_packed_plaintext(self, values, level=level,
+                                             noise_deg=noise_deg)
+        if self.scheme == Scheme.BFVRNS_SCHEME:
+            from openfhe_tpu.pke.schemes import bfv
+            return bfv.make_packed_plaintext(self, values)
+        raise ValueError("PackedPlaintext requires BGV/BFV")
+
+    def MakeCoefPackedPlaintext(self, values) -> Plaintext:
+        """Coefficient packing (reference: MakeCoefPackedPlaintext)."""
+        from openfhe_tpu.pke.encoding.packed import coef_encode
+        t = self.plaintext_modulus
+        coeffs = coef_encode(values, t, self.ring_dim)
+        centered = np.where(coeffs > t // 2, coeffs - t, coeffs)
+        res = crt.to_residues_host(centered, tuple(self.moduli_q))
+        poly = ntt_fwd(jnp.asarray(res), self.basis_q)
+        return Plaintext(poly=poly, fmt=EVAL, level=0, slots=self.ring_dim,
+                         encoding="COEF_PACKED", values=np.asarray(values))
+
+    def MakeStringPlaintext(self, s: str) -> Plaintext:
+        from openfhe_tpu.pke.encoding.packed import string_encode
+        t = self.plaintext_modulus
+        coeffs = string_encode(s, t, self.ring_dim)
+        res = crt.to_residues_host(coeffs, tuple(self.moduli_q))
+        poly = ntt_fwd(jnp.asarray(res), self.basis_q)
+        return Plaintext(poly=poly, fmt=EVAL, level=0, slots=self.ring_dim,
+                         encoding="STRING", values=s)
+
     def decode_ckks(self, coeff_residues: np.ndarray, level: int,
                     scale: float, slots: int) -> np.ndarray:
         size = coeff_residues.shape[-2]
@@ -261,7 +294,11 @@ class CryptoContext:
             c0, c1 = rns_pke.encrypt_zero_sk(self.next_rng(), key, basis,
                                              ns_int=ns)
             tag = key.key_tag
-        c0 = mo.add_mod(c0, plaintext.poly, basis.q)
+        pt_poly = plaintext.poly
+        if self.scheme == Scheme.BFVRNS_SCHEME:
+            from openfhe_tpu.pke.schemes import bfv
+            pt_poly = bfv.scale_plaintext_for_add(self, pt_poly)
+        c0 = mo.add_mod(c0, pt_poly, basis.q)
         return Ciphertext(elements=(c0, c1), level=plaintext.level,
                           noise_deg=plaintext.noise_deg,
                           scale=plaintext.scale, slots=plaintext.slots,
@@ -345,19 +382,33 @@ class CryptoContext:
                                         for c in a.elements))
 
     def _encode_like(self, ct: Ciphertext, values) -> Plaintext:
-        return self.MakeCKKSPackedPlaintext(
-            np.broadcast_to(np.asarray(values, np.complex128), (ct.slots,)),
-            scale_deg=ct.noise_deg, level=ct.level, slots=ct.slots)
+        if self.scheme == Scheme.CKKSRNS_SCHEME:
+            return self.MakeCKKSPackedPlaintext(
+                np.broadcast_to(np.asarray(values, np.complex128),
+                                (ct.slots,)),
+                scale_deg=ct.noise_deg, level=ct.level, slots=ct.slots)
+        return self.MakePackedPlaintext(
+            np.broadcast_to(np.asarray(values, np.int64), (ct.slots,)),
+            level=ct.level)
 
     def _eval_add_plain(self, ct: Ciphertext, pt: Plaintext,
                         negate: bool = False) -> Ciphertext:
-        if pt.level != ct.level or pt.noise_deg != ct.noise_deg:
-            pt = self.MakeCKKSPackedPlaintext(
-                pt.values, scale_deg=ct.noise_deg, level=ct.level,
-                slots=ct.slots)
+        if pt.level != ct.level or (
+                self.scheme == Scheme.CKKSRNS_SCHEME
+                and pt.noise_deg != ct.noise_deg):
+            if self.scheme == Scheme.CKKSRNS_SCHEME:
+                pt = self.MakeCKKSPackedPlaintext(
+                    pt.values, scale_deg=ct.noise_deg, level=ct.level,
+                    slots=ct.slots)
+            else:
+                pt = self.MakePackedPlaintext(pt.values, level=ct.level)
         basis = self.basis_at(ct.level)
+        pt_poly = pt.poly
+        if self.scheme == Scheme.BFVRNS_SCHEME:
+            from openfhe_tpu.pke.schemes import bfv
+            pt_poly = bfv.scale_plaintext_for_add(self, pt_poly)
         op = mo.sub_mod if negate else mo.add_mod
-        c0 = op(ct.elements[0], pt.poly, basis.q)
+        c0 = op(ct.elements[0], pt_poly, basis.q)
         return ct.replace(elements=(c0,) + ct.elements[1:])
 
     def _eval_add_scalar(self, ct: Ciphertext, s) -> Ciphertext:
@@ -366,6 +417,9 @@ class CryptoContext:
 
     def EvalMultNoRelin(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         """Tensor product (c0d0, c0d1+c1d0, c1d1)."""
+        if self.scheme == Scheme.BFVRNS_SCHEME:
+            from openfhe_tpu.pke.schemes import bfv
+            return bfv.eval_mult_no_relin(self, a, b)
         if self._auto():
             if a.noise_deg == 2:
                 a = self.ModReduce(a)
@@ -407,16 +461,29 @@ class CryptoContext:
         return self.EvalMult(a, a)
 
     def _encode_like_mult(self, ct: Ciphertext, values) -> Plaintext:
-        return self.MakeCKKSPackedPlaintext(
-            np.broadcast_to(np.asarray(values, np.complex128), (ct.slots,)),
-            scale_deg=1, level=ct.level, slots=ct.slots)
+        if self.scheme == Scheme.CKKSRNS_SCHEME:
+            return self.MakeCKKSPackedPlaintext(
+                np.broadcast_to(np.asarray(values, np.complex128),
+                                (ct.slots,)),
+                scale_deg=1, level=ct.level, slots=ct.slots)
+        if self.scheme == Scheme.BGVRNS_SCHEME:
+            from openfhe_tpu.pke.schemes import bgv
+            return bgv.make_packed_plaintext(
+                self, np.broadcast_to(np.asarray(values, np.int64),
+                                      (self.ring_dim,)),
+                level=ct.level, apply_factor=False)
+        return self.MakePackedPlaintext(
+            np.broadcast_to(np.asarray(values, np.int64), (self.ring_dim,)))
 
     def _eval_mult_plain(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
-        if self._auto() and ct.noise_deg == 2:
+        if self.scheme == Scheme.CKKSRNS_SCHEME and self._auto() \
+                and ct.noise_deg == 2:
             ct = self.ModReduce(ct)
-        if pt.level != ct.level:
-            pt = self.MakeCKKSPackedPlaintext(pt.values, scale_deg=1,
-                                              level=ct.level, slots=ct.slots)
+        if pt.level != ct.level and self.scheme != Scheme.BFVRNS_SCHEME:
+            pt = self._encode_like_mult(ct, pt.values) \
+                if self.scheme == Scheme.BGVRNS_SCHEME else \
+                self.MakeCKKSPackedPlaintext(pt.values, scale_deg=1,
+                                             level=ct.level, slots=ct.slots)
         basis = self.basis_at(ct.level)
         mm = lambda x: mo.mul_mod(x, pt.poly, basis.q, basis.r32,
                                   basis.r32_sh, basis.m32)
@@ -429,8 +496,15 @@ class CryptoContext:
     # rescaling / level management (reference: rns-leveledshe.cpp:186-390)
     # ------------------------------------------------------------------
 
-    def ModReduce(self, ct: Ciphertext, levels: int = 1) -> Ciphertext:
-        """CKKS rescale / BGV modulus reduction by `levels` towers."""
+    def ModReduce(self, ct: Ciphertext, levels: int | None = None
+                  ) -> Ciphertext:
+        """CKKS rescale / BGV modulus reduction."""
+        if self.scheme == Scheme.BGVRNS_SCHEME:
+            from openfhe_tpu.pke.schemes import bgv
+            return bgv.mod_reduce(self, ct, levels)
+        if self.scheme == Scheme.BFVRNS_SCHEME:
+            raise ValueError("ModReduce is not applicable to BFV")
+        levels = 1 if levels is None else levels
         for _ in range(levels):
             size = self.size_ql(ct.level)
             basis = self.basis_at(ct.level)

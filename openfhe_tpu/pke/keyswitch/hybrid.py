@@ -56,7 +56,7 @@ class HybridTables:
 
 
 def make_hybrid_tables(basis_q: Basis, basis_p: Basis, size_ql: int,
-                       num_parts_full: int) -> HybridTables:
+                       num_parts_full: int, ns_int: int = 1) -> HybridTables:
     """Host precompute for level with `size_ql` towers (reference:
     rns-cryptoparameters.h m_paramsPartQ / m_paramsComplPartQ tables)."""
     k_full = len(basis_q.moduli)
@@ -81,7 +81,7 @@ def make_hybrid_tables(basis_q: Basis, basis_p: Basis, size_ql: int,
             start=start, end=end))
     return HybridTables(
         parts=tuple(parts),
-        moddown=rt.make_mod_down_tables(p_mods, q_mods),
+        moddown=rt.make_mod_down_tables(p_mods, q_mods, t=ns_int),
         basis_ql=basis_ql, basis_p=basis_p,
         basis_qlp=basis_ql.concat(basis_p),
         size_ql=size_ql, k_q_full=k_full)

@@ -1,0 +1,223 @@
+"""BFV (RNS) scheme specifics.
+
+Reference analog: /root/reference src/pke/lib/scheme/bfvrns/* —
+bfvrns-leveledshe.cpp:217-410 (ExpandCRTBasis -> tensor -> ScaleAndRound
+with BEHZ/HPS variants), bfvrns-cryptoparameters.cpp (table precompute),
+bfvrns-parametergeneration.cpp (noise-driven sizing).
+
+TPU-first multiplication (integer-exact, float-free): a BEHZ-flavored RNS
+scale-and-round built from three integer identities, chosen because TPU
+lanes have no f64 for HPS's floating-point overflow estimates:
+
+  1. Expand ct from Q to the aux basis R u {m_sk} with *approximate* base
+     conversion (value c + uQ, u <= k_Q — absorbed as noise).
+  2. Tensor in both bases; per element form v = t*X + Q/2 (+ Q*S on the aux
+     side, S = floor(R/2), making the quotient nonnegative);
+     y + S = (v - [v]_Q) / Q over R u sk via one more approx conversion
+     (the conversion slack u again only shifts y by -u: noise).
+  3. Exact aux->Q return via the Shenoy-Kumaresan correction: the m_sk
+     residue pins the overflow count alpha = u' of the approx conversion
+     exactly (alpha < k_R < m_sk), so y mod Q is integer-exact.
+
+Rotations/relinearization reuse the hybrid keyswitch (ns = 1).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openfhe_tpu.lattice import rns_tools as rt
+from openfhe_tpu.lattice.basis import make_basis
+from openfhe_tpu.math import crt
+from openfhe_tpu.math import modops as mo
+from openfhe_tpu.math import nbtheory
+from openfhe_tpu.ops.ntt import ntt_fwd, ntt_inv
+from openfhe_tpu.pke import parameters as prm
+from openfhe_tpu.pke.ciphertext import Ciphertext, Plaintext
+
+
+def init_context(cc) -> None:
+    p = cc.params
+    t = p.plaintext_modulus
+    if p.ring_dim == 0:
+        p.ring_dim = 16384
+    n = cc.ring_dim = p.ring_dim
+    if (t - 1) % (2 * n) != 0 or not nbtheory.is_prime(t):
+        raise ValueError(
+            f"plaintext modulus {t} must be prime and = 1 mod 2N for packing")
+    # noise-driven chain sizing (reference: bfvrns-parametergeneration.cpp)
+    bits_per_mult = math.log2(t) + math.log2(n) + 14
+    log_q = 34 + math.log2(t) + p.mult_depth * bits_per_mult
+    k_q = max(2, math.ceil(log_q / p.scaling_mod_size))
+    moduli = prm._distinct_prime_chain(
+        2 * n, [p.scaling_mod_size] * k_q)
+    cc._init_common(moduli)
+    cc.L = 0  # BFV is scale-invariant: no levels
+    cc.noise_scale_int = 1
+    cc.plaintext_modulus = t
+    cc.slots = n
+    cc.delta = 1.0
+    _precompute_mult_tables(cc)
+
+
+def _precompute_mult_tables(cc) -> None:
+    t = cc.plaintext_modulus
+    n = cc.ring_dim
+    q_mods = cc.moduli_q
+    big_q = 1
+    for q in q_mods:
+        big_q *= q
+    cc.big_q = big_q
+    k_q = len(q_mods)
+    log_r = (math.log2(t) + math.log2(n) + math.log2(big_q)
+             + 2 * math.log2(k_q + 2) + 4)
+    k_r = math.ceil(log_r / 30)
+    aux = prm._distinct_prime_chain(2 * n, [30] * (k_r + 1),
+                                    forbidden=tuple(q_mods) + tuple(cc.moduli_p))
+    r_mods, m_sk = aux[:k_r], aux[k_r]
+    cc.bfv_r_mods = r_mods
+    cc.bfv_m_sk = m_sk
+    rsk_mods = r_mods + [m_sk]
+    cc.basis_rsk = make_basis(rsk_mods, n)
+    cc.basis_r = cc.basis_rsk.slice(0, k_r)
+    cc.basis_sk = cc.basis_rsk.slice(k_r, k_r + 1)
+    big_r = 1
+    for r in r_mods:
+        big_r *= r
+    cc.bfv_big_r = big_r
+    shift_s = big_r >> 1
+    # conversion tables
+    cc.st_q_to_rsk = rt.make_switch_tables(q_mods, rsk_mods)
+    cc.st_r_to_qsk = rt.make_switch_tables(r_mods, list(q_mods) + [m_sk])
+    cc.basis_qsk = cc.basis_q.concat(cc.basis_sk)
+    # constants
+    half_q = big_q >> 1
+    cc.c_t_q = rt._shoup_pair([t % q for q in q_mods], q_mods)
+    cc.c_t_rsk = rt._shoup_pair([t % r for r in rsk_mods], rsk_mods)
+    cc.c_halfq_q = rt._shoup_pair([half_q % q for q in q_mods], q_mods)
+    # aux side gets v + Q*S: add [t*X*0 + Q/2 + Q*S]_r pieces separately
+    cc.c_halfq_plus_qs_rsk = rt._shoup_pair(
+        [(half_q + big_q * shift_s) % r for r in rsk_mods], rsk_mods)
+    cc.c_qinv_rsk = rt._shoup_pair(
+        [pow(big_q % r, -1, r) for r in rsk_mods], rsk_mods)
+    cc.c_rinv_sk = rt._shoup_pair([pow(big_r % m_sk, -1, m_sk)], [m_sk])
+    cc.c_r_q = rt._shoup_pair([big_r % q for q in q_mods], q_mods)
+    cc.c_s_q = rt._shoup_pair([shift_s % q for q in q_mods], q_mods)
+    # encryption scaling Delta = floor(Q/t)
+    delta = big_q // t
+    cc.c_delta_q = rt._shoup_pair([delta % q for q in q_mods], q_mods)
+
+
+def make_packed_plaintext(cc, values, level: int = 0,
+                          noise_deg: int = 1) -> Plaintext:
+    from openfhe_tpu.pke.encoding.packed import encode_packed
+    t = cc.plaintext_modulus
+    coeffs = encode_packed(values, t, cc.ring_dim)
+    centered = np.where(coeffs > t // 2, coeffs - t, coeffs)
+    res = crt.to_residues_host(centered, tuple(cc.moduli_q))
+    poly = ntt_fwd(jnp.asarray(res), cc.basis_q)
+    return Plaintext(poly=poly, fmt=1, level=0, noise_deg=1, scale=1.0,
+                     slots=cc.ring_dim, encoding="PACKED",
+                     values=np.asarray(values))
+
+
+def scale_plaintext_for_add(cc, pt_poly: jnp.ndarray) -> jnp.ndarray:
+    """Delta * m (encryption-side scaling; reference STANDARD technique)."""
+    c, c_sh = cc.c_delta_q
+    return mo.mul_mod_shoup(pt_poly, c, c_sh, cc.basis_q.q)
+
+
+@jax.jit
+def _bfv_scale_round(x_q, x_rsk, cc_tables):
+    """round(t*X/Q) mod Q from X's residues over Q and R u sk (all COEFF)."""
+    (basis_q, basis_rsk, basis_r, basis_sk, basis_qsk, st_q_to_rsk,
+     st_r_to_qsk, c_t_q, c_t_rsk, c_halfq_q, c_halfq_plus_qs_rsk,
+     c_qinv_rsk, c_rinv_sk, c_r_q, c_s_q) = cc_tables
+    k_r = len(basis_r.moduli)
+    # v = t*X + Q/2 (+ Q*S on the aux side)
+    v_q = mo.add_mod(mo.mul_mod_shoup(x_q, c_t_q[0], c_t_q[1], basis_q.q),
+                     c_halfq_q[0] * jnp.uint32(1), basis_q.q)
+    v_q = mo.cond_sub(v_q, basis_q.q)
+    v_rsk = mo.mul_mod_shoup(x_rsk, c_t_rsk[0], c_t_rsk[1], basis_rsk.q)
+    v_rsk = mo.add_mod(v_rsk, jnp.broadcast_to(c_halfq_plus_qs_rsk[0],
+                                               v_rsk.shape), basis_rsk.q)
+    # y + S = (v - [v]_Q)/Q over R u sk  (approx conversion: slack -> noise)
+    conv = rt.switch_crt_basis_approx(v_q, basis_q, basis_rsk, st_q_to_rsk)
+    y_rsk = mo.mul_mod_shoup(mo.sub_mod(v_rsk, conv, basis_rsk.q),
+                             c_qinv_rsk[0], c_qinv_rsk[1], basis_rsk.q)
+    y_r, y_sk = y_rsk[..., :k_r, :], y_rsk[..., k_r:, :]
+    # Shenoy-Kumaresan exact return R -> Q
+    z = rt.switch_crt_basis_approx(y_r, basis_r, basis_qsk, st_r_to_qsk)
+    z_q, z_sk = z[..., :-1, :], z[..., -1:, :]
+    alpha = mo.mul_mod_shoup(mo.sub_mod(z_sk, y_sk, basis_sk.q),
+                             c_rinv_sk[0], c_rinv_sk[1], basis_sk.q)
+    # alpha < k_R: a small integer, same in every tower
+    corr = mo.mul_mod_shoup(
+        mo.barrett_u32(alpha, basis_q.q, basis_q.m32),
+        c_r_q[0], c_r_q[1], basis_q.q)
+    y_q = mo.sub_mod(z_q, corr, basis_q.q)
+    # remove the S shift
+    ones = jnp.ones_like(y_q)
+    s_q = mo.mul_mod_shoup(ones, c_s_q[0], c_s_q[1], basis_q.q)
+    return mo.sub_mod(y_q, s_q, basis_q.q)
+
+
+def _mult_tables(cc):
+    return (cc.basis_q, cc.basis_rsk, cc.basis_r, cc.basis_sk, cc.basis_qsk,
+            cc.st_q_to_rsk, cc.st_r_to_qsk, cc.c_t_q, cc.c_t_rsk,
+            cc.c_halfq_q, cc.c_halfq_plus_qs_rsk, cc.c_qinv_rsk,
+            cc.c_rinv_sk, cc.c_r_q, cc.c_s_q)
+
+
+@jax.jit
+def _bfv_tensor(a_elems, b_elems, cc_tables):
+    """Full BFV tensor product: expand to R u sk, multiply, scale-round."""
+    (basis_q, basis_rsk) = cc_tables[0], cc_tables[1]
+    st_q_to_rsk = cc_tables[5]
+
+    def expand(c):
+        c_coeff = ntt_inv(c, basis_q)
+        c_aux = rt.switch_crt_basis_approx(c_coeff, basis_q, basis_rsk,
+                                           st_q_to_rsk)
+        return ntt_fwd(c_aux, basis_rsk)
+
+    a0, a1 = a_elems
+    b0, b1 = b_elems
+    a0r, a1r, b0r, b1r = expand(a0), expand(a1), expand(b0), expand(b1)
+    mmq = lambda x, y: mo.mul_mod(x, y, basis_q.q, basis_q.r32,
+                                  basis_q.r32_sh, basis_q.m32)
+    mmr = lambda x, y: mo.mul_mod(x, y, basis_rsk.q, basis_rsk.r32,
+                                  basis_rsk.r32_sh, basis_rsk.m32)
+    prods_q = (mmq(a0, b0), mo.add_mod(mmq(a0, b1), mmq(a1, b0), basis_q.q),
+               mmq(a1, b1))
+    prods_r = (mmr(a0r, b0r),
+               mo.add_mod(mmr(a0r, b1r), mmr(a1r, b0r), basis_rsk.q),
+               mmr(a1r, b1r))
+    out = []
+    for xq, xr in zip(prods_q, prods_r):
+        y = _bfv_scale_round(ntt_inv(xq, basis_q), ntt_inv(xr, basis_rsk),
+                             cc_tables)
+        out.append(ntt_fwd(y, basis_q))
+    return tuple(out)
+
+
+def eval_mult_no_relin(cc, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    elems = _bfv_tensor(a.elements[:2], b.elements[:2], _mult_tables(cc))
+    return a.replace(elements=elems, noise_deg=1)
+
+
+def decrypt_tail(cc, coeff_residues, ct: Ciphertext) -> Plaintext:
+    """m = round(t * [c(s)]_Q / Q) mod t, exact on host."""
+    t = cc.plaintext_modulus
+    centered = crt.interpolate_centered(np.asarray(coeff_residues),
+                                        tuple(cc.moduli_q))
+    big_q = cc.big_q
+    m = [(int(v) * t + (big_q >> 1)) // big_q % t for v in centered]
+    from openfhe_tpu.pke.encoding.packed import decode_packed
+    vals = decode_packed(np.array(m, np.int64), t, cc.ring_dim)
+    return Plaintext(poly=coeff_residues, fmt=0, level=0, slots=ct.slots,
+                     encoding=ct.encoding, values=vals)
