@@ -329,12 +329,22 @@ class CryptoContext:
 
     def _adjust_pair(self, a: Ciphertext, b: Ciphertext):
         """AdjustLevelsAndDepth (base-leveledshe.cpp): equalize level and
-        noise degree of two ciphertexts before +/-/*."""
-        if self._auto():
-            if a.noise_deg == 2 and b.noise_deg == 1 and a.level <= b.level:
-                a = self.ModReduce(a)
-            if b.noise_deg == 2 and a.noise_deg == 1 and b.level <= a.level:
-                b = self.ModReduce(b)
+        noise degree of two ciphertexts before +/-.
+
+        Mismatched noise degrees mean mismatched scales (delta vs delta^2);
+        like the reference we either rescale the deg-2 operand (when it is
+        at the shallower level) or raise the deg-1 operand by a x1
+        plaintext multiplication."""
+        if a.noise_deg != b.noise_deg:
+            if self._auto():
+                if a.noise_deg == 2 and a.level <= b.level:
+                    a = self.ModReduce(a)
+                elif b.noise_deg == 2 and b.level <= a.level:
+                    b = self.ModReduce(b)
+            if a.noise_deg < b.noise_deg:
+                a = self._eval_mult_plain(a, self._encode_like_mult(a, 1.0))
+            elif b.noise_deg < a.noise_deg:
+                b = self._eval_mult_plain(b, self._encode_like_mult(b, 1.0))
         while a.level < b.level:
             a = self.LevelReduce(a, b.level - a.level)
         while b.level < a.level:
@@ -558,6 +568,98 @@ class CryptoContext:
 
     def EvalConjugate(self, ct: Ciphertext) -> Ciphertext:
         return self.EvalAutomorphism(ct, conjugation_index(self.ring_dim))
+
+
+    # ------------------------------------------------------------------
+    # AdvancedSHE delegation (reference: cryptocontext.h EvalSum etc.)
+    # ------------------------------------------------------------------
+
+    def EvalAddMany(self, cts):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_add_many(self, cts)
+
+    def EvalMultMany(self, cts):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_mult_many(self, cts)
+
+    def EvalLinearWSum(self, cts, weights):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_linear_wsum(self, cts, weights)
+
+    def EvalSumKeyGen(self, sk, batch_size=None):
+        from openfhe_tpu.pke import advanced
+        advanced.eval_sum_keygen(self, sk, batch_size)
+        self.eval_sum_keys[sk.key_tag] = True
+
+    def EvalSum(self, ct, batch_size=None):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_sum(self, ct, batch_size)
+
+    def EvalSumRowsKeyGen(self, sk, row_size, batch):
+        from openfhe_tpu.pke import advanced
+        advanced.eval_sum_rows_keygen(self, sk, row_size, batch)
+
+    def EvalSumRows(self, ct, row_size, batch=None):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_sum_rows(self, ct, row_size, batch)
+
+    def EvalSumColsKeyGen(self, sk, row_size):
+        from openfhe_tpu.pke import advanced
+        advanced.eval_sum_cols_keygen(self, sk, row_size)
+
+    def EvalSumCols(self, ct, row_size):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_sum_cols(self, ct, row_size)
+
+    def EvalInnerProduct(self, ct1, ct2, batch_size=None):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_inner_product(self, ct1, ct2, batch_size)
+
+    def EvalMerge(self, cts):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_merge(self, cts)
+
+    def EvalPoly(self, ct, coeffs):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_poly(self, ct, coeffs)
+
+    def EvalPolyLinear(self, ct, coeffs):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_poly_linear(self, ct, coeffs)
+
+    EvalPolyPS = EvalPoly
+
+    def EvalChebyshevSeries(self, ct, coeffs, a, b):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_chebyshev_series(self, ct, coeffs, a, b)
+
+    def EvalChebyshevSeriesLinear(self, ct, coeffs, a, b):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_chebyshev_series_linear(self, ct, coeffs, a, b)
+
+    def EvalChebyshevSeriesPS(self, ct, coeffs, a, b):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_chebyshev_series_ps(self, ct, coeffs, a, b)
+
+    def EvalChebyshevFunction(self, func, ct, a, b, degree):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_chebyshev_function(self, func, ct, a, b, degree)
+
+    def EvalSin(self, ct, a, b, degree):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_sin(self, ct, a, b, degree)
+
+    def EvalCos(self, ct, a, b, degree):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_cos(self, ct, a, b, degree)
+
+    def EvalLogistic(self, ct, a, b, degree):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_logistic(self, ct, a, b, degree)
+
+    def EvalDivide(self, ct, a, b, degree):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_divide(self, ct, a, b, degree)
 
 
 def GenCryptoContext(params: prm.CCParams, seed: int = 0) -> CryptoContext:
