@@ -571,6 +571,86 @@ class CryptoContext:
 
 
     # ------------------------------------------------------------------
+    # PRE (reference: ReKeyGen/ReEncrypt, cryptocontext.h:3043)
+    # ------------------------------------------------------------------
+
+    def ReKeyGen(self, old_sk, new_key):
+        from openfhe_tpu.pke import pre
+        return pre.re_key_gen(self, old_sk, new_key)
+
+    def ReEncrypt(self, ct, re_key, public_key=None):
+        from openfhe_tpu.pke import pre
+        return pre.re_encrypt(self, ct, re_key, public_key)
+
+    # ------------------------------------------------------------------
+    # Multiparty (reference: cryptocontext.h:3088-3151)
+    # ------------------------------------------------------------------
+
+    def MultipartyKeyGen(self, prev_pk=None):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.multiparty_key_gen(self, prev_pk)
+
+    def MultipartyDecryptLead(self, cts, sk):
+        from openfhe_tpu.pke import multiparty
+        if isinstance(cts, (list, tuple)):
+            return [multiparty.multiparty_decrypt_lead(self, c, sk)
+                    for c in cts]
+        return multiparty.multiparty_decrypt_lead(self, cts, sk)
+
+    def MultipartyDecryptMain(self, cts, sk):
+        from openfhe_tpu.pke import multiparty
+        if isinstance(cts, (list, tuple)):
+            return [multiparty.multiparty_decrypt_main(self, c, sk)
+                    for c in cts]
+        return multiparty.multiparty_decrypt_main(self, cts, sk)
+
+    def MultipartyDecryptFusion(self, partials, ct_meta=None):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.multiparty_decrypt_fusion(
+            self, partials, ct_meta or partials[0])
+
+    def MultiKeySwitchGen(self, original_sk, new_sk, ek_prev):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.multi_key_switch_gen(self, original_sk, new_sk,
+                                               ek_prev)
+
+    def MultiAddEvalKeys(self, ek1, ek2, key_tag=""):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.multi_add_evalkeys(self, ek1, ek2, key_tag)
+
+    def MultiMultEvalKey(self, ek, sk, key_tag=""):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.multi_mult_eval_key(self, ek, sk, key_tag)
+
+    def MultiAddEvalMultKeys(self, ek1, ek2, key_tag=""):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.multi_add_evalmult_keys(self, ek1, ek2, key_tag)
+
+    def MultiEvalAutomorphismKeyGen(self, sk, ek_prev_map, g_list,
+                                    key_tag=""):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.multi_eval_automorphism_keygen(
+            self, sk, ek_prev_map, g_list, key_tag)
+
+    def MultiAddAutomorphismKeys(self, m1, m2, key_tag=""):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.multi_add_automorphism_keys(self, m1, m2, key_tag)
+
+    def ShareKeys(self, sk, num_parties, threshold, seed=0):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.share_keys(self, sk, num_parties, threshold, seed)
+
+    def RecoverSharedKey(self, shares, key_tag=""):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.recover_shared_key(self, shares, key_tag)
+
+    def InsertEvalMultKey(self, ek, key_tag=None):
+        self.eval_mult_keys[key_tag or ek.key_tag] = ek
+
+    def InsertEvalAutomorphismKey(self, key_map, key_tag):
+        self.eval_automorphism_keys.setdefault(key_tag, {}).update(key_map)
+
+    # ------------------------------------------------------------------
     # AdvancedSHE delegation (reference: cryptocontext.h EvalSum etc.)
     # ------------------------------------------------------------------
 

@@ -124,6 +124,45 @@ def keyswitch_gen(rng, s_old: PrivateKey, s_new: PrivateKey,
                    key_tag=s_new.key_tag)
 
 
+def keyswitch_gen_pk(rng, s_old: PrivateKey, new_pk, basis_qp: Basis,
+                     k_q: int, num_parts: int, p_modq, p_modq_sh,
+                     ns_int: int = 1,
+                     secret_key_dist=None) -> EvalKey:
+    """PK-based hybrid KS keygen (reference keyswitch-hybrid.cpp second
+    overload): digit j is an encryption of P*s_old*mask_j under new_pk —
+    used by unidirectional PRE's ReKeyGen (no access to the new secret)."""
+    k_qp = len(basis_qp.moduli)
+    n = basis_qp.ring_dim
+    alpha = -(-k_q // num_parts)
+    mm = lambda x, y: mo.mul_mod(x, y, basis_qp.q, basis_qp.r32,
+                                 basis_qp.r32_sh, basis_qp.m32)
+    bs, as_ = [], []
+    for part in range(num_parts):
+        rng, k1, k2, k3 = jax.random.split(rng, 4)
+        u = ntt_fwd(sampling.to_residues(
+            sampling.ternary(k1, (n,)), basis_qp), basis_qp)
+        e0 = ntt_fwd(sampling.to_residues(
+            sampling.discrete_gaussian(k2, (n,)), basis_qp), basis_qp)
+        e1 = ntt_fwd(sampling.to_residues(
+            sampling.discrete_gaussian(k3, (n,)), basis_qp), basis_qp)
+        if ns_int != 1:
+            c, c_sh = rt._shoup_pair(
+                [ns_int % q for q in basis_qp.moduli], basis_qp.moduli)
+            e0 = mo.mul_mod_shoup(e0, c, c_sh, basis_qp.q)
+            e1 = mo.mul_mod_shoup(e1, c, c_sh, basis_qp.q)
+        a = mo.add_mod(mm(new_pk.a, u), e1, basis_qp.q)
+        b = mo.add_mod(mm(new_pk.b, u), e0, basis_qp.q)
+        start, end = alpha * part, min(alpha * (part + 1), k_q)
+        ps_old = mo.mul_mod_shoup(s_old.s_qp, p_modq, p_modq_sh, basis_qp.q)
+        row_ids = jnp.arange(k_qp)[:, None]
+        mask = (row_ids >= start) & (row_ids < end)
+        b = jnp.where(mask, mo.add_mod(b, ps_old, basis_qp.q), b)
+        bs.append(b)
+        as_.append(a)
+    return EvalKey(bv=jnp.stack(bs), av=jnp.stack(as_),
+                   key_tag=new_pk.key_tag)
+
+
 def _decompose_digits(c: jnp.ndarray, tabs: HybridTables) -> list:
     """EvalKeySwitchPrecomputeCore: per digit, extend [c]_{Q_j} to Q_l*P.
 

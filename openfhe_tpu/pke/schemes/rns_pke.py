@@ -37,14 +37,15 @@ def keygen(rng, basis_qp: Basis, k_q: int, key_tag: str,
     s_qp = ntt_fwd(sampling.to_residues(s_small, basis_qp), basis_qp)
     sk = PrivateKey(s_qp=s_qp, key_tag=key_tag)
 
-    basis_q = basis_qp.slice(0, k_q)
-    a = sampling.uniform_residues(k2, basis_q)
+    # pk lives over the extended basis QP (reference: GetParamsPK(),
+    # rns-cryptoparameters.h:265) so PK-based key switching (PRE) works
+    a = sampling.uniform_residues(k2, basis_qp)
     e = ntt_fwd(sampling.to_residues(
-        sampling.discrete_gaussian(k3, (n,), sigma), basis_q), basis_q)
+        sampling.discrete_gaussian(k3, (n,), sigma), basis_qp), basis_qp)
     if ns_int != 1:
-        e = _mul_const_int(e, ns_int, basis_q)
-    b = mo.sub_mod(e, mo.mul_mod(a, s_qp[:k_q], basis_q.q, basis_q.r32,
-                                 basis_q.r32_sh, basis_q.m32), basis_q.q)
+        e = _mul_const_int(e, ns_int, basis_qp)
+    b = mo.sub_mod(e, mo.mul_mod(a, s_qp, basis_qp.q, basis_qp.r32,
+                                 basis_qp.r32_sh, basis_qp.m32), basis_qp.q)
     return KeyPair(public_key=PublicKey(b=b, a=a, key_tag=key_tag),
                    secret_key=sk)
 
