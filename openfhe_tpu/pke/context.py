@@ -110,10 +110,27 @@ class CryptoContext:
         self.ring_dim = p.ring_dim
         self.L = p.mult_depth
         moduli = prm.select_ckks_moduli(p.ring_dim, p.mult_depth,
-                                        p.scaling_mod_size, p.first_mod_size)
+                                        p.scaling_mod_size, p.first_mod_size,
+                                        flexible=self._flexible())
         self._init_common(moduli)
         self.delta = float(2 ** p.scaling_mod_size)
         self.slots = p.batch_size or p.ring_dim // 2
+        # Canonical per-level scaling factors (reference FLEXIBLEAUTO,
+        # ckksrns-cryptoparameters.cpp m_scalingFactorsReal): level 0 uses
+        # the last modulus, then scf[l+1] = scf[l]^2 / q_dropped(l). This
+        # keeps scales exactly consistent across op paths, which matters far
+        # more at 28-bit moduli than at the reference's 59-bit ones.
+        k = len(self.moduli_q)
+        if self._flexible():
+            scf = [float(self.moduli_q[k - 1])]
+        else:
+            scf = [self.delta]
+        for lvl in range(1, k):
+            if self._flexible():
+                scf.append(scf[-1] * scf[-1] / float(self.moduli_q[k - lvl]))
+            else:
+                scf.append(self.delta)
+        self.scf_real = scf
 
     def _init_bgv(self):
         from openfhe_tpu.pke.schemes import bgv
@@ -222,10 +239,11 @@ class CryptoContext:
     # ------------------------------------------------------------------
 
     def MakeCKKSPackedPlaintext(self, values, scale_deg: int = 1,
-                                level: int = 0, slots: int | None = None
-                                ) -> Plaintext:
+                                level: int = 0, slots: int | None = None,
+                                scale: float | None = None) -> Plaintext:
         slots = slots or min(self.slots, self.ring_dim // 2)
-        scale = self.delta ** scale_deg
+        if scale is None:
+            scale = self.scale_at(level) ** scale_deg
         size = self.size_ql(level)
         coeffs = ckks_packed.encode_to_coeffs(values, self.ring_dim, slots,
                                               scale)
@@ -327,6 +345,77 @@ class CryptoContext:
             ScalingTechnique.FIXEDAUTO, ScalingTechnique.FLEXIBLEAUTO,
             ScalingTechnique.FLEXIBLEAUTOEXT)
 
+    def _flexible(self) -> bool:
+        return self.params.scaling_technique in (
+            ScalingTechnique.FLEXIBLEAUTO, ScalingTechnique.FLEXIBLEAUTOEXT)
+
+    def scale_at(self, level: int) -> float:
+        """Canonical scaling factor for a depth-1 ciphertext at `level`."""
+        if self.scheme == Scheme.CKKSRNS_SCHEME:
+            return self.scf_real[level]
+        return self.delta
+
+    def _scalar_mult_raw(self, ct: Ciphertext, value: float,
+                         pt_scale: float) -> Ciphertext:
+        """Multiply by a scalar encoded at an explicit plaintext scale.
+
+        The workhorse of FLEXIBLE scale canonicalization (reference
+        EvalMultCoreInPlace(ct, double) in ckksrns-leveledshe.cpp): value
+        semantics value *= `value`, tracked scale *= `pt_scale`."""
+        pt = self.MakeCKKSPackedPlaintext(
+            np.full(ct.slots, value, np.complex128), level=ct.level,
+            slots=ct.slots, scale=pt_scale)
+        basis = self.basis_at(ct.level)
+        mm = lambda x: mo.mul_mod(x, pt.poly, basis.q, basis.r32,
+                                  basis.r32_sh, basis.m32)
+        return ct.replace(elements=tuple(mm(c) for c in ct.elements),
+                          noise_deg=ct.noise_deg + 1,
+                          scale=ct.scale * pt_scale)
+
+    def _adjust_flexible(self, a: Ciphertext, b: Ciphertext):
+        """FLEXIBLE-mode level/depth alignment with exact scale matching
+        (reference AdjustLevelsAndDepthInPlace, ckksrns-leveledshe.cpp:603).
+
+        Brings the shallower-level operand to the other's (level, deg) via
+        one scalar multiplication whose encoding scale is chosen so the
+        result lands exactly on the target's scale. Uses the operand's
+        actual scale, so mildly non-canonical inputs are corrected too.
+        """
+        def bring(x, l2, d2, target_scale):
+            if x.noise_deg == 2 and x.level < l2:
+                x = self.ModReduce(x)
+            if x.level == l2 and x.noise_deg == d2:
+                return x
+            if d2 == 2:
+                x = self._scalar_mult_raw(x, 1.0, target_scale / x.scale)
+                if x.level < l2:
+                    x = self.LevelReduce(x, l2 - x.level)
+                return x
+            # d2 == 1, x.level < l2 (deg already 1 here)
+            if x.level == l2:
+                return x
+            ql = self.moduli_q[self.size_ql(l2 - 1) - 1]
+            x = self._scalar_mult_raw(
+                x, 1.0, target_scale * float(ql) / x.scale)
+            if x.level < l2 - 1:
+                x = self.LevelReduce(x, l2 - 1 - x.level)
+            return self.ModReduce(x)
+
+        if a.level == b.level and a.noise_deg == b.noise_deg:
+            if abs(a.scale / b.scale - 1.0) > 1e-10 and a.noise_deg == 1:
+                # residual drift (non-canonical inputs): raise both to a
+                # common deg-2 scale with x1 multiplications
+                t = self.scale_at(a.level) ** 2
+                a = self._scalar_mult_raw(a, 1.0, t / a.scale)
+                b = self._scalar_mult_raw(b, 1.0, t / b.scale)
+            return a, b
+        # order by (level, deg): bring the "behind" one forward
+        if (a.level, a.noise_deg) < (b.level, b.noise_deg):
+            a = bring(a, b.level, b.noise_deg, b.scale)
+        else:
+            b = bring(b, a.level, a.noise_deg, a.scale)
+        return a, b
+
     def _adjust_pair(self, a: Ciphertext, b: Ciphertext):
         """AdjustLevelsAndDepth (base-leveledshe.cpp): equalize level and
         noise degree of two ciphertexts before +/-.
@@ -335,6 +424,8 @@ class CryptoContext:
         like the reference we either rescale the deg-2 operand (when it is
         at the shallower level) or raise the deg-1 operand by a x1
         plaintext multiplication."""
+        if self.scheme == Scheme.CKKSRNS_SCHEME and self._flexible():
+            return self._adjust_flexible(a, b)
         if a.noise_deg != b.noise_deg:
             if self._auto():
                 if a.noise_deg == 2 and a.level <= b.level:
@@ -740,6 +831,24 @@ class CryptoContext:
     def EvalDivide(self, ct, a, b, degree):
         from openfhe_tpu.pke import advanced
         return advanced.eval_divide(self, ct, a, b, degree)
+
+    # ------------------------------------------------------------------
+    # CKKS bootstrapping (reference: cryptocontext.h:3513-3548)
+    # ------------------------------------------------------------------
+
+    def EvalBootstrapSetup(self, level_budget=(1, 1), dim1=(0, 0),
+                           slots: int = 0, correction_factor: int = 0):
+        from openfhe_tpu.pke.fhe import ckks_bootstrap as bt
+        bt.eval_bootstrap_setup(self, level_budget, dim1, slots,
+                                correction_factor)
+
+    def EvalBootstrapKeyGen(self, sk, slots: int = 0):
+        from openfhe_tpu.pke.fhe import ckks_bootstrap as bt
+        bt.eval_bootstrap_keygen(self, sk, slots)
+
+    def EvalBootstrap(self, ct, num_iterations: int = 1, precision: int = 0):
+        from openfhe_tpu.pke.fhe import ckks_bootstrap as bt
+        return bt.eval_bootstrap(self, ct, num_iterations, precision)
 
 
 def GenCryptoContext(params: prm.CCParams, seed: int = 0) -> CryptoContext:

@@ -110,22 +110,57 @@ def _distinct_prime_chain(order: int, bit_sizes, forbidden=()) -> list:
     return out
 
 
+def _nearest_prime(target: float, order: int, used: set) -> int:
+    """Nearest unused prime = 1 mod order to `target`."""
+    t = max(order + 1, int(round(target)))
+    hi = nbtheory.next_prime(t - 1, order)
+    while hi in used:
+        hi = nbtheory.next_prime(hi, order)
+    lo = nbtheory.previous_prime(t, order)
+    while lo in used and lo > order:
+        lo = nbtheory.previous_prime(lo, order)
+    if lo <= order or lo in used:
+        return hi
+    return lo if (t - lo) <= (hi - t) else hi
+
+
 def select_ckks_moduli(n: int, mult_depth: int, scaling_mod_size: int,
-                       first_mod_size: int, forbidden=()) -> list:
+                       first_mod_size: int, forbidden=(),
+                       flexible: bool = True) -> list:
     """CKKS modulus chain: q0 (first_mod_size bits) + mult_depth scaling
-    primes alternating above/below 2^scaling_mod_size to keep the running
-    product of scales near 2^(depth*p) (reference:
-    ckksrns-parametergeneration.cpp strategy)."""
+    primes (reference: ckksrns-parametergeneration.cpp).
+
+    FLEXIBLE modes track the scaling-factor recurrence
+    scf[l+1] = scf[l]^2 / q_dropped(l) and pick each dropped prime nearest
+    scf^2 / 2^p so the chain stays anchored at 2^p — without this the
+    squaring in the recurrence compounds prime-rounding drift
+    catastrophically. FIXED modes alternate primes above/below 2^p to keep
+    the running product centered instead.
+    """
     order = 2 * n
     used = set(forbidden)
     q0 = nbtheory.first_prime(first_mod_size, order)
     while q0 in used:
         q0 = nbtheory.next_prime(q0, order)
     used.add(q0)
+    target = float(1 << scaling_mod_size)
+    if flexible:
+        # generate in drop order (last chain element is dropped first)
+        drops = []
+        scf = None
+        for i in range(mult_depth):
+            t = target if i == 0 else scf * scf / target
+            q = _nearest_prime(t, order, used)
+            if q >= 1 << MAX_MODULUS_BITS:
+                raise ValueError("scaling prime exceeded 31 bits; reduce "
+                                 "scaling_mod_size")
+            used.add(q)
+            drops.append(q)
+            scf = float(q) if i == 0 else scf * scf / q
+        return [q0] + drops[::-1]
     chain = [q0]
-    target = 1 << scaling_mod_size
-    up = target + 1
-    down = target + 1
+    up = int(target) + 1
+    down = int(target) + 1
     log_drift = 0.0  # sum of log2(q_i / 2^p)
     for _ in range(mult_depth):
         if log_drift <= 0:

@@ -1,0 +1,63 @@
+"""CKKS bootstrapping round-trip tests.
+
+Reference analog: src/pke/unittest/utckksrns/UnitTestBootstrap.cpp — reduced
+ring dims with HEStd_NotSet for speed, round-trip oracle with loose epsilon
+(28-bit moduli bound the achievable precision until composite scaling lands).
+"""
+import numpy as np
+import pytest
+
+from openfhe_tpu.pke.constants import (PKESchemeFeature, ScalingTechnique,
+                                       Scheme, SecurityLevel)
+from openfhe_tpu.pke.context import GenCryptoContext
+from openfhe_tpu.pke.parameters import CCParams
+
+
+def make_boot_ctx(n, depth=18):
+    p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=n, mult_depth=depth,
+                 scaling_mod_size=28, first_mod_size=30,
+                 security_level=SecurityLevel.HEStd_NotSet,
+                 scaling_technique=ScalingTechnique.FLEXIBLEAUTO)
+    cc = GenCryptoContext(p, seed=11)
+    for f in (PKESchemeFeature.PKE, PKESchemeFeature.KEYSWITCH,
+              PKESchemeFeature.LEVELEDSHE, PKESchemeFeature.ADVANCEDSHE,
+              PKESchemeFeature.FHE):
+        cc.Enable(f)
+    return cc
+
+
+@pytest.mark.parametrize("n,slots", [(256, 8), (64, 32)],
+                         ids=["sparse", "full"])
+def test_bootstrap_roundtrip(n, slots):
+    cc = make_boot_ctx(n)
+    cc.EvalBootstrapSetup(slots=slots)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    cc.EvalBootstrapKeyGen(kp.secret_key, slots)
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, slots)
+    ct = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(x, slots=slots))
+    ct2 = cc.EvalBootstrap(ct)
+
+    # bootstrap must RAISE the level budget: more towers than the input path
+    assert cc.size_ql(ct2.level) > 2
+
+    dec = cc.Decrypt(kp.secret_key, ct2)
+    assert np.abs(dec.values.real - x).max() < 0.12
+
+
+def test_bootstrap_then_compute():
+    """Bootstrapped ciphertexts must support further multiplications."""
+    cc = make_boot_ctx(256)
+    cc.EvalBootstrapSetup(slots=8)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    cc.EvalBootstrapKeyGen(kp.secret_key, 8)
+
+    x = np.linspace(-0.8, 0.8, 8)
+    ct = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(x, slots=8))
+    ct = cc.EvalBootstrap(ct)
+    ct = cc.EvalMult(ct, ct)        # x^2 after refresh
+    dec = cc.Decrypt(kp.secret_key, ct)
+    assert np.abs(dec.values.real - x * x).max() < 0.2
