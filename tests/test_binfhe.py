@@ -1,0 +1,107 @@
+"""BinFHE tests: gates, bootstrap refresh, functional bootstrapping.
+
+Reference analog: src/binfhe/unittest/UnitTestFHEW.cpp + UnitTestFunc.cpp —
+TOY-parameter round-trip oracles; all four input combinations evaluated as
+one batched ciphertext tensor (the TPU-native layout).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from openfhe_tpu.binfhe.constants import BINGATE
+from openfhe_tpu.binfhe.context import BinFHEContext
+
+
+@pytest.fixture(scope="module")
+def toy():
+    cc = BinFHEContext(seed=3).GenerateBinFHEContext("TOY")
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    m1 = jnp.array([0, 0, 1, 1], jnp.uint32)
+    m2 = jnp.array([0, 1, 0, 1], jnp.uint32)
+    ct1 = cc.Encrypt(sk, m1)
+    ct2 = cc.Encrypt(sk, m2)
+    return cc, sk, m1, m2, ct1, ct2
+
+
+@pytest.fixture(scope="module")
+def func_ctx():
+    cc = BinFHEContext(seed=5).GenerateBinFHEContextCustom(
+        n=64, N=1024, q=1024, q_bits=27, base_ks=25, base_g=512)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    return cc, sk
+
+
+GATES = [
+    (BINGATE.AND, lambda a, b: a & b),
+    (BINGATE.OR, lambda a, b: a | b),
+    (BINGATE.NAND, lambda a, b: 1 - (a & b)),
+    (BINGATE.XOR, lambda a, b: a ^ b),
+]
+
+
+@pytest.mark.parametrize("gate,fn", GATES, ids=[g.name for g, _ in GATES])
+def test_bin_gate(toy, gate, fn):
+    cc, sk, m1, m2, ct1, ct2 = toy
+    got = cc.Decrypt(sk, cc.EvalBinGate(gate, ct1, ct2))
+    want = fn(np.asarray(m1), np.asarray(m2))
+    assert np.array_equal(got % 2, want % 2)
+
+
+def test_not_and_bootstrap(toy):
+    cc, sk, m1, m2, ct1, ct2 = toy
+    assert np.array_equal(cc.Decrypt(sk, cc.EvalNOT(ct1)),
+                          1 - np.asarray(m1))
+    refreshed = cc.Bootstrap(ct1)
+    assert np.array_equal(cc.Decrypt(sk, refreshed), np.asarray(m1))
+
+
+def test_three_input_gates(toy):
+    cc, sk, m1, m2, ct1, ct2 = toy
+    m3 = jnp.array([0, 1, 1, 1], jnp.uint32)
+    c1 = cc.Encrypt(sk, m1, p=6)
+    c2 = cc.Encrypt(sk, m2, p=6)
+    c3 = cc.Encrypt(sk, m3, p=6)
+    got = cc.Decrypt(sk, cc.EvalBinGate(BINGATE.AND3, [c1, c2, c3]))
+    assert np.array_equal(got, np.asarray(m1) & np.asarray(m2)
+                          & np.asarray(m3))
+    got = cc.Decrypt(sk, cc.EvalBinGate(BINGATE.OR3, [c1, c2, c3]))
+    assert np.array_equal(got, np.asarray(m1) | np.asarray(m2)
+                          | np.asarray(m3))
+
+
+def test_majority_cmux(toy):
+    cc, sk, m1, m2, ct1, ct2 = toy
+    m3 = jnp.array([0, 1, 1, 1], jnp.uint32)
+    ct3 = cc.Encrypt(sk, m3)
+    got = cc.Decrypt(sk, cc.EvalBinGate(BINGATE.MAJORITY, [ct1, ct2, ct3]))
+    want = (np.asarray(m1) + np.asarray(m2) + np.asarray(m3) >= 2)
+    assert np.array_equal(got, want.astype(got.dtype))
+    got = cc.Decrypt(sk, cc.EvalCMUX(ct1, ct2, ct3))
+    want = np.where(np.asarray(m3), np.asarray(m2), np.asarray(m1))
+    assert np.array_equal(got, want)
+
+
+def test_eval_func(func_ctx):
+    cc, sk = func_ctx
+    p = 4
+    cte = cc.Encrypt(sk, jnp.arange(p, dtype=jnp.uint32), p=p)
+    # periodic LUT (x^2 mod 4 repeats with period q/2)
+    lut = cc.GenerateLUTviaFunction(lambda m, pp: (m * m) % pp, p)
+    got = cc.Decrypt(sk, cc.EvalFunc(cte, lut), p=p)
+    assert np.array_equal(got, (np.arange(p) ** 2) % p)
+    # arbitrary LUT
+    lut2 = cc.GenerateLUTviaFunction(lambda m, pp: m // 2, p)
+    got = cc.Decrypt(sk, cc.EvalFunc(cte, lut2), p=p)
+    assert np.array_equal(got, np.arange(p) // 2)
+
+
+def test_eval_sign_decomp(func_ctx):
+    cc, sk = func_ctx
+    mod = 1 << 17
+    ct = cc.Encrypt(sk, jnp.array([2, 60000], jnp.uint32), p=mod // 2, q=mod)
+    got = cc.Decrypt(sk, cc.EvalSign(ct), p=2)
+    assert np.array_equal(got, [0, 1])
+    digits = cc.EvalDecomp(ct)
+    assert len(digits) >= 2
