@@ -396,9 +396,11 @@ class BinFHEContext:
         ct3 = self._bootstrap_func(ct2_q, f2, mod)
         return lwe.eval_sub(ct1, ct3)
 
-    def EvalSign(self, ct) -> lwe.LWECiphertext:
+    def EvalSign(self, ct, scheme_switch: bool = False) -> lwe.LWECiphertext:
         """Large-precision sign via iterated flooring
-        (binfhe-base-scheme.cpp EvalSign :380)."""
+        (binfhe-base-scheme.cpp EvalSign :380). With scheme_switch=True,
+        uses the negated final map and skips the q/4 recentering (the
+        encoding EvalFHEWtoCKKS expects, reference :440-447)."""
         beta = self.beta
         q = self.q
         mod = ct.modulus
@@ -413,6 +415,11 @@ class BinFHEContext:
         cttmp = cttmp.replace(
             b=mo.add_mod(cttmp.b, jnp.uint32(beta), jnp.uint32(mod)))
         x = np.arange(mod, dtype=np.int64)
+        if scheme_switch:
+            f3 = np.where(x < mod // 2, (q - q // 4) % q,
+                          q // 4).astype(np.int64)
+            out = self._bootstrap_func(cttmp, f3, q)
+            return out.replace(pt_modulus=4)
         f3 = np.where(x < mod // 2, q // 4, (q - q // 4) % q).astype(np.int64)
         out = self._bootstrap_func(cttmp, f3, q)
         out = out.replace(b=mo.sub_mod(out.b, jnp.uint32(q >> 2),

@@ -166,6 +166,9 @@ class CryptoContext:
     def basis_at(self, level: int) -> Basis:
         return self.basis_q.slice(0, self.size_ql(level))
 
+    def basis_at_size(self, size_ql: int) -> Basis:
+        return self.basis_q.slice(0, size_ql)
+
     def hybrid_tables(self, size_ql: int) -> hybrid.HybridTables:
         if size_ql not in self._hybrid_cache:
             self._hybrid_cache[size_ql] = hybrid.make_hybrid_tables(
@@ -173,6 +176,27 @@ class CryptoContext:
                 self.params.num_large_digits,
                 ns_int=getattr(self, "noise_scale_int", 1))
         return self._hybrid_cache[size_ql]
+
+    def bv_tables(self, size_ql: int):
+        from openfhe_tpu.pke.keyswitch import bv
+        cache = self._hybrid_cache.setdefault("bv", {})
+        if size_ql not in cache:
+            cache[size_ql] = bv.make_bv_tables(self.basis_q, size_ql)
+        return cache[size_ql]
+
+    def _keyswitch_core(self, c, ek, size_ql: int):
+        """Dispatch on the configured key-switch technique (reference:
+        KeySwitchBV vs KeySwitchHYBRID capability objects)."""
+        if self.params.ks_technique == KeySwitchTechnique.BV:
+            from openfhe_tpu.pke.keyswitch import bv
+            if self.params.digit_size:
+                d_cnt = bv._digit_count(self.basis_q, len(self.moduli_q),
+                                        self.params.digit_size)
+                return bv.keyswitch_core_digits(
+                    c, ek, self.basis_at_size(size_ql),
+                    self.params.digit_size, d_cnt, len(self.moduli_q))
+            return bv.keyswitch_core(c, ek, self.bv_tables(size_ql))
+        return hybrid.keyswitch_core(c, ek, self.hybrid_tables(size_ql))
 
     def rescale_tables(self, size_ql: int) -> rt.DropScaleTables:
         if size_ql not in self._rescale_cache:
@@ -196,6 +220,12 @@ class CryptoContext:
     def KeySwitchGen(self, old_key: PrivateKey,
                      new_key: PrivateKey) -> EvalKey:
         ns = getattr(self, "noise_scale_int", 1)
+        if self.params.ks_technique == KeySwitchTechnique.BV:
+            from openfhe_tpu.pke.keyswitch import bv
+            return bv.keyswitch_gen(self.next_rng(), old_key, new_key,
+                                    self.basis_q, len(self.moduli_q),
+                                    ns_int=ns,
+                                    digit_size=self.params.digit_size)
         return hybrid.keyswitch_gen(
             self.next_rng(), old_key, new_key, self.basis_qp,
             len(self.moduli_q), self.params.num_large_digits,
@@ -544,9 +574,9 @@ class CryptoContext:
             return ct
         assert len(ct.elements) == 3, "relin beyond degree 2 via chain"
         ek = self.eval_mult_keys[ct.key_tag]
-        tabs = self.hybrid_tables(self.size_ql(ct.level))
-        d0, d1 = hybrid.keyswitch_core(ct.elements[2], ek, tabs)
-        basis = tabs.basis_ql
+        size = self.size_ql(ct.level)
+        d0, d1 = self._keyswitch_core(ct.elements[2], ek, size)
+        basis = self.basis_at(ct.level)
         c0 = mo.add_mod(ct.elements[0], d0, basis.q)
         c1 = mo.add_mod(ct.elements[1], d1, basis.q)
         return ct.replace(elements=(c0, c1))
@@ -646,9 +676,8 @@ class CryptoContext:
         idx = jnp.asarray(eval_indices(self.ring_dim, g))
         rot = [jnp.take(c, idx, axis=-1) for c in ct.elements]
         ek = self.eval_automorphism_keys[ct.key_tag][g]
-        tabs = self.hybrid_tables(self.size_ql(ct.level))
-        d0, d1 = hybrid.keyswitch_core(rot[1], ek, tabs)
-        basis = tabs.basis_ql
+        d0, d1 = self._keyswitch_core(rot[1], ek, self.size_ql(ct.level))
+        basis = self.basis_at(ct.level)
         return ct.replace(elements=(mo.add_mod(rot[0], d0, basis.q), d1))
 
     def EvalRotate(self, ct: Ciphertext, index: int) -> Ciphertext:
@@ -849,6 +878,75 @@ class CryptoContext:
     def EvalBootstrap(self, ct, num_iterations: int = 1, precision: int = 0):
         from openfhe_tpu.pke.fhe import ckks_bootstrap as bt
         return bt.eval_bootstrap(self, ct, num_iterations, precision)
+
+    # ------------------------------------------------------------------
+    # CKKS <-> FHEW scheme switching (reference: cryptocontext.h:3653-3753)
+    # ------------------------------------------------------------------
+
+    def EvalCKKStoFHEWSetup(self, params=None):
+        from openfhe_tpu.pke import schemeswitch as ssw
+        return ssw.eval_ckks_to_fhew_setup(self, params or
+                                           ssw.SchSwchParams())
+
+    def EvalCKKStoFHEWKeyGen(self, keys, lwe_sk):
+        from openfhe_tpu.pke import schemeswitch as ssw
+        ssw.eval_ckks_to_fhew_keygen(self, keys, lwe_sk)
+
+    def EvalCKKStoFHEWPrecompute(self, scale: float = 1.0):
+        from openfhe_tpu.pke import schemeswitch as ssw
+        ssw.eval_ckks_to_fhew_precompute(self, scale)
+
+    def EvalCKKStoFHEW(self, ct, num_ctxts: int = 0):
+        from openfhe_tpu.pke import schemeswitch as ssw
+        return ssw.eval_ckks_to_fhew(self, ct, num_ctxts)
+
+    def EvalFHEWtoCKKSKeyGen(self, keys, lwe_sk):
+        from openfhe_tpu.pke import schemeswitch as ssw
+        ssw.eval_fhew_to_ckks_keygen(self, keys, lwe_sk)
+
+    def EvalFHEWtoCKKS(self, lwe_cts, num_ctxts: int = 0,
+                       num_slots: int = 0, p: int = 4, pmin: float = 0.0,
+                       pmax: float = 2.0):
+        from openfhe_tpu.pke import schemeswitch as ssw
+        return ssw.eval_fhew_to_ckks(self, lwe_cts, num_ctxts, num_slots,
+                                     p, pmin, pmax)
+
+    def EvalSchemeSwitchingSetup(self, params=None):
+        return self.EvalCKKStoFHEWSetup(params)
+
+    def EvalSchemeSwitchingKeyGen(self, keys, lwe_sk):
+        self.EvalCKKStoFHEWKeyGen(keys, lwe_sk)
+        self.EvalFHEWtoCKKSKeyGen(keys, lwe_sk)
+
+    def EvalCompareSwitchPrecompute(self, p_lwe: int = 0,
+                                    scale_sign: float = 1.0):
+        from openfhe_tpu.pke import schemeswitch as ssw
+        ssw.eval_compare_switch_precompute(self, p_lwe, scale_sign)
+
+    def EvalCompareSchemeSwitching(self, ct1, ct2, num_ctxts: int = 0,
+                                   num_slots: int = 0):
+        from openfhe_tpu.pke import schemeswitch as ssw
+        return ssw.eval_compare_scheme_switching(self, ct1, ct2, num_ctxts,
+                                                 num_slots)
+
+    def EvalMinSchemeSwitching(self, ct, public_key, num_values: int,
+                               num_slots: int = 0, p_lwe: int = 0,
+                               scale_sign: float = 1.0):
+        from openfhe_tpu.pke import schemeswitch as ssw
+        return ssw.eval_min_scheme_switching(self, ct, public_key,
+                                             num_values, num_slots, p_lwe,
+                                             scale_sign)
+
+    def EvalMaxSchemeSwitching(self, ct, public_key, num_values: int,
+                               num_slots: int = 0, p_lwe: int = 0,
+                               scale_sign: float = 1.0):
+        from openfhe_tpu.pke import schemeswitch as ssw
+        return ssw.eval_max_scheme_switching(self, ct, public_key,
+                                             num_values, num_slots, p_lwe,
+                                             scale_sign)
+
+    def GetBinCCForSchemeSwitch(self):
+        return self._schswch.cc_lwe
 
 
 def GenCryptoContext(params: prm.CCParams, seed: int = 0) -> CryptoContext:
