@@ -48,6 +48,8 @@ class SwitchTables:
     bhat_mod_d[i]  = [ B/b_i ]_{d_j} as [k_in, k_out, 1]
     b_mod_d        = [ B ]_{d_j} (+ shoup)            (for the exact variant)
     b_inv_f32[i]   = 1 / b_i as f32                   (overflow-count estimate)
+    w_limbs etc.   = int8 limb form of bhat_mod_d^T + per-output-row modular
+                     constants, driving the MXU matmul path (ops/modmatmul)
     """
     bhat_inv: jnp.ndarray
     bhat_inv_sh: jnp.ndarray
@@ -56,9 +58,15 @@ class SwitchTables:
     b_mod_d: jnp.ndarray
     b_mod_d_sh: jnp.ndarray
     b_inv_f32: jnp.ndarray
+    w_limbs: jnp.ndarray = None
+    rm_q: jnp.ndarray = None
+    rm_pow: jnp.ndarray = None
+    rm_pow_sh: jnp.ndarray = None
+    rm_r32pow: jnp.ndarray = None
 
 
 def make_switch_tables(from_moduli, to_moduli) -> SwitchTables:
+    from openfhe_tpu.ops import modmatmul as mmx
     kb, kd = len(from_moduli), len(to_moduli)
     big_b = 1
     for b in from_moduli:
@@ -75,12 +83,16 @@ def make_switch_tables(from_moduli, to_moduli) -> SwitchTables:
             mat[i, j, 0] = v
             mat_sh[i, j, 0] = (v << 32) // d
     bm, bm_sh = _shoup_pair([big_b % d for d in to_moduli], to_moduli)
+    rm = mmx.make_rowmod_consts(to_moduli)
     return SwitchTables(
         bhat_inv=c, bhat_inv_sh=c_sh,
         bhat_mod_d=jnp.asarray(mat), bhat_mod_d_sh=jnp.asarray(mat_sh),
         b_mod_d=bm, b_mod_d_sh=bm_sh,
         b_inv_f32=jnp.asarray(
-            np.array([1.0 / b for b in from_moduli], np.float32)))
+            np.array([1.0 / b for b in from_moduli], np.float32)),
+        w_limbs=jnp.asarray(mmx.balanced_limbs_host(mat[:, :, 0].T)),
+        rm_q=rm["q"], rm_pow=rm["pow"], rm_pow_sh=rm["pow_sh"],
+        rm_r32pow=rm["r32pow"])
 
 
 def switch_crt_basis_approx(x: jnp.ndarray, in_basis: Basis,
@@ -95,12 +107,25 @@ def switch_crt_basis_approx(x: jnp.ndarray, in_basis: Basis,
 
 def _accumulate_converted(y: jnp.ndarray, tab: SwitchTables,
                           out_basis: Basis) -> jnp.ndarray:
-    """sum_i y_i * [B/b_i]_{d_j} mod d_j as a compact lax.scan over input
-    towers (keeps the XLA graph small; each step is a fused [k_out, N]
-    Shoup multiply-accumulate)."""
+    """sum_i y_i * [B/b_i]_{d_j} mod d_j.
+
+    Default path: a single modular matmul over the tower axis on the MXU
+    (ops/modmatmul, exact via int8 limb decomposition) — the base
+    conversion IS a small matmul (SURVEY.md §2.4). Falls back to a compact
+    lax.scan of Shoup multiply-accumulates when the matmul tables are
+    absent (deserialized old tables)."""
     k_out = len(out_basis.moduli)
     n = y.shape[-1]
     lead = y.shape[:-2]
+    if tab.w_limbs is not None:
+        from openfhe_tpu.ops import modmatmul as mmx
+        k_in = y.shape[-2]
+        x2 = jnp.moveaxis(y, -2, 0).reshape(k_in, -1)
+        consts = dict(q=tab.rm_q, pow=tab.rm_pow, pow_sh=tab.rm_pow_sh,
+                      r32pow=tab.rm_r32pow)
+        out = mmx.mod_matmul_rowmod(tab.w_limbs, x2, consts)
+        out = out.reshape((k_out,) + lead + (n,))
+        return jnp.moveaxis(out, 0, -2)
     acc0 = jnp.zeros(lead + (k_out, n), jnp.uint32)
     # move the input-tower axis to the front for scan
     ys = jnp.moveaxis(y[..., None, :], -3, 0)          # [k_in, *lead, 1, N]

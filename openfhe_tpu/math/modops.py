@@ -25,7 +25,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+# plain Python int: weakly-typed literal keeps uint32 and, unlike a concrete
+# jnp scalar, doesn't become a captured constant inside pallas kernels
+_MASK16 = 0xFFFF
 
 
 # ---------------------------------------------------------------------------

@@ -28,12 +28,28 @@ from openfhe_tpu.lattice.basis import Basis
 from openfhe_tpu.math.modops import add_mod, sub_mod, mul_mod_shoup
 
 
-@jax.jit
 def ntt_fwd(x: jnp.ndarray, b: Basis) -> jnp.ndarray:
     """Negacyclic forward NTT: COEFF (natural order) -> EVAL (bit-reversed).
 
     x: uint32 [..., k, N] canonical residues; returns same shape/dtype.
+    Dispatches to the 4-step MXU path for large rings on TPU.
     """
+    from openfhe_tpu.ops import ntt4step
+    if ntt4step.supported(b):
+        return ntt4step.ntt_fwd_4step(x, b)
+    return _ntt_fwd_vpu(x, b)
+
+
+def ntt_inv(x: jnp.ndarray, b: Basis) -> jnp.ndarray:
+    """Negacyclic inverse NTT: EVAL (bit-reversed) -> COEFF (natural)."""
+    from openfhe_tpu.ops import ntt4step
+    if ntt4step.supported(b):
+        return ntt4step.ntt_inv_4step(x, b)
+    return _ntt_inv_vpu(x, b)
+
+
+@jax.jit
+def _ntt_fwd_vpu(x: jnp.ndarray, b: Basis) -> jnp.ndarray:
     n = b.ring_dim
     lead = x.shape[:-1]
     q = b.q.reshape(b.q.shape[:-1] + (1, 1))  # [k,1,1]
@@ -52,8 +68,7 @@ def ntt_fwd(x: jnp.ndarray, b: Basis) -> jnp.ndarray:
 
 
 @jax.jit
-def ntt_inv(x: jnp.ndarray, b: Basis) -> jnp.ndarray:
-    """Negacyclic inverse NTT: EVAL (bit-reversed) -> COEFF (natural order)."""
+def _ntt_inv_vpu(x: jnp.ndarray, b: Basis) -> jnp.ndarray:
     n = b.ring_dim
     lead = x.shape[:-1]
     q = b.q.reshape(b.q.shape[:-1] + (1, 1))
