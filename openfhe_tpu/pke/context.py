@@ -764,6 +764,45 @@ class CryptoContext:
         from openfhe_tpu.pke import multiparty
         return multiparty.recover_shared_key(self, shares, key_tag)
 
+    # Interactive (2-round) bootstrapping
+    # (reference: cryptocontext.h IntBoot*/IntMPBoot*)
+
+    def IntBootAdjustScale(self, ct):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.int_boot_adjust_scale(self, ct)
+
+    def IntBootDecrypt(self, sk, ct):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.int_boot_decrypt(self, sk, ct)
+
+    def IntBootEncrypt(self, pk, ct_share):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.int_boot_encrypt(self, pk, ct_share)
+
+    def IntBootAdd(self, ct1, ct2):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.int_boot_add(self, ct1, ct2)
+
+    def IntMPBootAdjustScale(self, ct):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.int_mp_boot_adjust_scale(self, ct)
+
+    def IntMPBootRandomElementGen(self, pk):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.int_mp_boot_random_element_gen(self, pk)
+
+    def IntMPBootDecrypt(self, sk, ct, a):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.int_mp_boot_decrypt(self, sk, ct, a)
+
+    def IntMPBootAdd(self, shares_vec):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.int_mp_boot_add(self, shares_vec)
+
+    def IntMPBootEncrypt(self, pk, shares, a, ct):
+        from openfhe_tpu.pke import multiparty
+        return multiparty.int_mp_boot_encrypt(self, pk, shares, a, ct)
+
     def InsertEvalMultKey(self, ek, key_tag=None):
         self.eval_mult_keys[key_tag or ek.key_tag] = ek
 

@@ -266,3 +266,192 @@ def recover_shared_key(cc, shares: dict, key_tag: str = "") -> PrivateKey:
         term = mo.mul_mod_shoup(shares[i], c, c_sh, cc.basis_qp.q)
         acc = term if acc is None else mo.add_mod(acc, term, cc.basis_qp.q)
     return PrivateKey(s_qp=acc, key_tag=key_tag or "recovered")
+
+
+# ---------------------------------------------------------------------------
+# Interactive (2-round) bootstrapping — single-key 2-party and multiparty
+# (reference: rns-multiparty.cpp IntBootDecrypt :374 / IntBootEncrypt :406 /
+# IntBootAdd :484 / PolynomialRound / ExtendBasis;
+# ckksrns-multiparty.cpp IntBootAdjustScale :451, IntMPBoot* :116-448)
+# ---------------------------------------------------------------------------
+
+def _extend_centered(cc, poly_eval, from_size: int, to_size: int):
+    """Centered exact CRT-basis extension (reference ExtendBasis /
+    ExpandCRTBasis): host big-int at the protocol boundary."""
+    import numpy as np
+    from openfhe_tpu.math import crt
+    from openfhe_tpu.ops.ntt import ntt_inv
+    b_from = cc.basis_q.slice(0, from_size)
+    b_to = cc.basis_q.slice(0, to_size)
+    coeff = np.asarray(ntt_inv(poly_eval, b_from))
+    centered = crt.interpolate_centered(coeff, b_from.moduli)
+    res = crt.to_residues_host(centered, tuple(b_to.moduli))
+    return ntt_fwd(jnp.asarray(res), b_to)
+
+
+def _polynomial_round(cc, cs_eval, size: int):
+    """(reference PolynomialRound): over a 2-tower chain, add Q/2 to
+    coefficients whose centered CRT value lies in (Q/4, 3Q/4]."""
+    import numpy as np
+    from openfhe_tpu.math import crt
+    from openfhe_tpu.ops.ntt import ntt_inv
+    basis = cc.basis_q.slice(0, size)
+    coeff = np.asarray(ntt_inv(cs_eval, basis))
+    vals, big = crt.interpolate(coeff, basis.moduli)
+    q1, q3, half = big // 4, 3 * big // 4, big // 2
+    shifted = np.array([(int(v) + half) % big
+                        if q1 < int(v) <= q3 else int(v)
+                        for v in vals], object)
+    res = crt.to_residues_host(shifted, tuple(basis.moduli))
+    return ntt_fwd(jnp.asarray(res), basis)
+
+
+def int_boot_adjust_scale(cc, ct: Ciphertext) -> Ciphertext:
+    """Compress to 2 towers on a canonical scale (IntBootAdjustScale)."""
+    k = len(cc.moduli_q)
+    if cc._flexible():
+        ct = cc.Compress(ct, 3)
+        l_t = k - 2
+        ql = cc.moduli_q[2]
+        ct = cc._scalar_mult_raw(ct, 1.0,
+                                 cc.scf_real[l_t] * float(ql) / ct.scale)
+        return cc.ModReduce(ct)
+    return cc.Compress(ct, 2)
+
+
+def int_boot_decrypt(cc, sk: PrivateKey, ct: Ciphertext) -> Ciphertext:
+    """Partial decryption share cs = c0 + c1*s (or c0*s for a c1-only
+    input), rounded (IntBootDecrypt)."""
+    size = ct.num_towers
+    basis = cc.basis_q.slice(0, size)
+    s = sk.s_qp[:size]
+    mm = lambda x, y: mo.mul_mod(x, y, basis.q, basis.r32, basis.r32_sh,
+                                 basis.m32)
+    if len(ct.elements) == 1:
+        cs = mm(ct.elements[0], s)
+    else:
+        cs = mo.add_mod(mm(ct.elements[1], s), ct.elements[0], basis.q)
+    cs = _polynomial_round(cc, cs, size)
+    return ct.replace(elements=(cs,))
+
+
+def int_boot_encrypt(cc, pk: PublicKey, ct_share: Ciphertext) -> Ciphertext:
+    """Re-encrypt a (rounded) share under the joint public key at the full
+    modulus (IntBootEncrypt)."""
+    from openfhe_tpu.pke.schemes import rns_pke
+    k = len(cc.moduli_q)
+    ptxt = _extend_centered(cc, ct_share.elements[0], ct_share.num_towers, k)
+    c0, c1 = rns_pke.encrypt_zero_pk(cc.next_rng(), pk, cc.basis_q,
+                                     cc.params.secret_key_dist)
+    c0 = mo.add_mod(c0, ptxt, cc.basis_q.q)
+    return ct_share.replace(elements=(c0, c1), level=0)
+
+
+def int_boot_add(cc, ct1: Ciphertext, ct2_share: Ciphertext) -> Ciphertext:
+    """Add the other party's extended share into c0 (IntBootAdd)."""
+    k = ct1.num_towers
+    ext = _extend_centered(cc, ct2_share.elements[0],
+                           ct2_share.num_towers, k)
+    basis = cc.basis_q.slice(0, k)
+    c0 = mo.add_mod(ct1.elements[0], ext, basis.q)
+    return ct1.replace(elements=(c0,) + ct1.elements[1:])
+
+
+# --- multiparty variants (ckksrns-multiparty.cpp :116-448) ---
+
+def _compression_towers(cc) -> int:
+    lvl = cc.params.interactive_boot_compression_level
+    cl = 1 if str(lvl).upper() == "COMPACT" else 2
+    return cl
+
+
+def int_mp_boot_adjust_scale(cc, ct: Ciphertext) -> Ciphertext:
+    """Compress to (message + compression) towers (IntMPBootAdjustScale)."""
+    cl = _compression_towers(cc)
+    sf_bits = cc.params.scaling_mod_size
+    first_bits = cc.moduli_q[0].bit_length()
+    keep = (sf_bits // first_bits + 1) + cl
+    k = len(cc.moduli_q)
+    if cc._flexible():
+        ct = cc.Compress(ct, keep + 1)
+        l_t = k - keep
+        ql = cc.moduli_q[keep]
+        ct = cc._scalar_mult_raw(ct, 1.0,
+                                 cc.scf_real[l_t] * float(ql) / ct.scale)
+        return cc.ModReduce(ct)
+    return cc.Compress(ct, keep)
+
+
+def int_mp_boot_random_element_gen(cc, pk: PublicKey) -> Ciphertext:
+    """Common random polynomial over the full chain
+    (IntMPBootRandomElementGen)."""
+    crp = sampling.uniform_residues(cc.next_rng(), cc.basis_q)
+    return Ciphertext(elements=(crp,), level=0, key_tag=pk.key_tag)
+
+
+def int_mp_boot_decrypt(cc, sk: PrivateKey, ct: Ciphertext,
+                        a: Ciphertext) -> list:
+    """Party share pair (h0_i, h1_i) (IntMPBootDecrypt):
+    h0_i = s_i*c1 + e - M_i over the compressed chain;
+    h1_i = -s_i*a + e' + M_i over the full chain."""
+    import numpy as np
+    from openfhe_tpu.math import crt
+    cl = _compression_towers(cc)
+    c1 = ct.elements[1] if len(ct.elements) >= 2 else ct.elements[0]
+    size = c1.shape[-2]
+    k = len(cc.moduli_q)
+    basis_c = cc.basis_q.slice(0, size)
+
+    # mask over the first `cl` towers, shared (centered) across both domains
+    mask_basis = cc.basis_q.slice(0, cl)
+    mi_res = sampling.uniform_residues(cc.next_rng(), mask_basis)
+    from openfhe_tpu.ops.ntt import ntt_inv
+    mi_coeff = np.asarray(ntt_inv(mi_res, mask_basis))
+    mi_centered = crt.interpolate_centered(mi_coeff, mask_basis.moduli)
+    mi_c = ntt_fwd(jnp.asarray(crt.to_residues_host(
+        mi_centered, tuple(basis_c.moduli))), basis_c)
+    mi_q = ntt_fwd(jnp.asarray(crt.to_residues_host(
+        mi_centered, tuple(cc.basis_q.moduli))), cc.basis_q)
+
+    mm_c = lambda x, y: mo.mul_mod(x, y, basis_c.q, basis_c.r32,
+                                   basis_c.r32_sh, basis_c.m32)
+    mm_q = lambda x, y: mo.mul_mod(x, y, cc.basis_q.q, cc.basis_q.r32,
+                                   cc.basis_q.r32_sh, cc.basis_q.m32)
+    n = cc.ring_dim
+    e0 = ntt_fwd(sampling.to_residues(sampling.discrete_gaussian(
+        cc.next_rng(), (n,)), basis_c), basis_c)
+    e1 = ntt_fwd(sampling.to_residues(sampling.discrete_gaussian(
+        cc.next_rng(), (n,)), cc.basis_q), cc.basis_q)
+
+    h0 = mo.sub_mod(mo.add_mod(mm_c(c1, sk.s_qp[:size]), e0, basis_c.q),
+                    mi_c, basis_c.q)
+    h1 = mo.add_mod(mo.sub_mod(e1, mm_q(a.elements[0], sk.s_qp[:k]),
+                               cc.basis_q.q), mi_q, cc.basis_q.q)
+    return [ct.replace(elements=(h0,)),
+            ct.replace(elements=(h1,), level=0)]
+
+
+def int_mp_boot_add(cc, shares_vec: list) -> list:
+    """Aggregate share pairs (IntMPBootAdd)."""
+    h0, h1 = shares_vec[0]
+    size0 = h0.num_towers
+    basis_c = cc.basis_q.slice(0, size0)
+    e0, e1 = h0.elements[0], h1.elements[0]
+    for p0, p1 in shares_vec[1:]:
+        e0 = mo.add_mod(e0, p0.elements[0], basis_c.q)
+        e1 = mo.add_mod(e1, p1.elements[0], cc.basis_q.q)
+    return [h0.replace(elements=(e0,)), h1.replace(elements=(e1,))]
+
+
+def int_mp_boot_encrypt(cc, pk: PublicKey, shares: list, a: Ciphertext,
+                        ct: Ciphertext) -> Ciphertext:
+    """Assemble the refreshed full-modulus ciphertext (IntMPBootEncrypt)."""
+    h0, h1 = shares
+    size = ct.num_towers
+    k = len(cc.moduli_q)
+    basis_c = cc.basis_q.slice(0, size)
+    c0p = mo.add_mod(ct.elements[0], h0.elements[0], basis_c.q)
+    c0p_full = _extend_centered(cc, c0p, size, k)
+    c0pp = mo.add_mod(c0p_full, h1.elements[0], cc.basis_q.q)
+    return ct.replace(elements=(c0pp, a.elements[0]), level=0,
+                      key_tag=pk.key_tag)
