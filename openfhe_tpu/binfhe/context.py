@@ -46,9 +46,6 @@ class BinFHEContext:
     def GenerateBinFHEContext(self, param_set: str = "STD128",
                               method: BINFHE_METHOD = BINFHE_METHOD.GINX,
                               seed: int | None = None):
-        if method != BINFHE_METHOD.GINX:
-            raise NotImplementedError(
-                "GINX/CGGI is implemented; AP and LMKCDEY are planned")
         if param_set not in PARAM_SETS:
             raise ValueError(f"unknown parameter set {param_set!r}; "
                              f"choose one of {sorted(PARAM_SETS)}")
@@ -65,6 +62,8 @@ class BinFHEContext:
         self.q_ks = self.Q if p.mod_ks == PRIME else p.mod_ks
         self.rgsw = rgsw.make_rgsw_params(self.n, self.N, self.Q, self.q,
                                           p.base_g)
+        self.base_r = p.base_rk
+        self.num_auto_keys = p.num_auto_keys
         self.gate_const = gate_constants(self.q)
         return self
 
@@ -72,16 +71,18 @@ class BinFHEContext:
                                     q_bits: int, base_ks: int, base_g: int,
                                     std: float = 3.19,
                                     method: BINFHE_METHOD =
-                                    BINFHE_METHOD.GINX):
+                                    BINFHE_METHOD.GINX,
+                                    base_r: int = 23,
+                                    num_auto_keys: int = 10):
         """Fully-custom context (reference GenerateBinFHEContext overload,
         binfhecontext.cpp:45). Use for experiments/tests; the named
         parameter sets carry the published security estimates."""
-        if method != BINFHE_METHOD.GINX:
-            raise NotImplementedError("GINX/CGGI only for now")
         from openfhe_tpu.math import nbtheory
         self.method = method
         self.n, self.N, self.q, self.std = n, N, q, std
         self.base_ks = base_ks
+        self.base_r = base_r
+        self.num_auto_keys = num_auto_keys
         self.Q = nbtheory.previous_prime(1 << q_bits, 2 * N)
         self.q_ks = self.Q
         self.rgsw = rgsw.make_rgsw_params(n, N, self.Q, q, base_g)
@@ -98,7 +99,7 @@ class BinFHEContext:
 
     def BTKeyGen(self, sk: lwe.LWEPrivateKey) -> None:
         """(binfhe-base-scheme.cpp BTKeyGen :40): KS key + blind-rotation
-        key for the ring secret."""
+        key for the ring secret, per the configured method."""
         b = self.rgsw.basis
         sk_n = lwe.key_gen(self.next_rng(), self.N)
         sk_n_res = jnp.asarray(
@@ -106,8 +107,54 @@ class BinFHEContext:
         sk_n_eval = ntt_fwd(sk_n_res[None, :, :], b)[0, 0]
         self.ks_key = lwe.key_switch_gen(self.next_rng(), sk, sk_n,
                                          self.q_ks, self.base_ks, self.std)
-        self.bt_key = rgsw.keygen_cggi_pair(self.next_rng(), self.rgsw,
-                                            sk_n_eval, sk.s, self.std)
+        if self.method == BINFHE_METHOD.GINX:
+            self.bt_key = rgsw.keygen_cggi_pair(self.next_rng(), self.rgsw,
+                                                sk_n_eval, sk.s, self.std)
+        elif self.method == BINFHE_METHOD.AP:
+            self.bt_key = rgsw.keygen_dm(self.next_rng(), self.rgsw,
+                                         sk_n_eval, sk.s,
+                                         getattr(self, "base_r", 23),
+                                         self.std)
+        else:   # LMKCDEY
+            s_host = np.asarray(sk.s, np.int64)
+            rgsw_keys = rgsw.keygen_rgsw_monomial(
+                self.next_rng(), self.rgsw, sk_n_eval,
+                [int(v) for v in s_host], self.std)
+            w = getattr(self, "num_auto_keys", 10)
+            auto_keys = {0: rgsw.keygen_auto(self.next_rng(), self.rgsw,
+                                             sk_n_eval, 2 * self.N - 5,
+                                             self.std)}
+            for j in range(1, w + 1):
+                auto_keys[j] = rgsw.keygen_auto(
+                    self.next_rng(), self.rgsw, sk_n_eval,
+                    pow(5, j, 2 * self.N), self.std)
+            self.bt_key = (rgsw_keys, auto_keys, w)
+
+    def _eval_acc(self, acc0, acc1, a, q_lwe: int | None = None):
+        """Dispatch blind rotation on the configured method."""
+        params = self.rgsw if q_lwe is None \
+            else self.rgsw.replace(q_lwe=q_lwe)
+        if self.method == BINFHE_METHOD.GINX:
+            return rgsw.eval_acc_cggi(params, self.bt_key, acc0, acc1, a)
+        if self.method == BINFHE_METHOD.AP:
+            ek, digits_r = self.bt_key
+            return rgsw.eval_acc_dm(params, ek, digits_r,
+                                    getattr(self, "base_r", 23),
+                                    acc0, acc1, a)
+        rgsw_keys, auto_keys, w = self.bt_key
+        a_host = np.asarray(a, np.int64)
+        if a_host.ndim == 1:
+            return rgsw.eval_acc_lmkcdey(params, rgsw_keys, auto_keys, w,
+                                         acc0, acc1, a_host)
+        # LMKCDEY schedules depend on the public a vector, so batched
+        # inputs run per-row (GINX remains the batched TPU fast path)
+        outs0, outs1 = [], []
+        for r in range(a_host.shape[0]):
+            o0, o1 = rgsw.eval_acc_lmkcdey(params, rgsw_keys, auto_keys, w,
+                                           acc0[r], acc1[r], a_host[r])
+            outs0.append(o0)
+            outs1.append(o1)
+        return jnp.stack(outs0), jnp.stack(outs1)
 
     # ------------------------------------------------------------------
     # encryption
@@ -162,8 +209,7 @@ class BinFHEContext:
         m = self._test_vector(ct.b, gate, p)
         acc1 = ntt_fwd(m[..., None, :], b)[..., 0, :]
         acc0 = jnp.zeros_like(acc1)
-        acc0, acc1 = rgsw.eval_acc_cggi(self.rgsw, self.bt_key, acc0, acc1,
-                                        ct.a)
+        acc0, acc1 = self._eval_acc(acc0, acc1, ct.a)
         # extract: a = Transpose(acc0) in COEFF, b = acc1[0]
         p0 = ntt_inv(acc0[..., None, :], b)[..., 0, :]
         p1 = ntt_inv(acc1[..., None, :], b)[..., 0, :]
@@ -290,9 +336,7 @@ class BinFHEContext:
         acc1 = ntt_fwd(m[..., None, :], b)[..., 0, :]
         acc0 = jnp.zeros_like(acc1)
         # blind rotation indices use the ciphertext modulus of `ct`
-        params = self.rgsw.replace(q_lwe=q_ct)
-        acc0, acc1 = rgsw.eval_acc_cggi(params, self.bt_key, acc0, acc1,
-                                        ct.a)
+        acc0, acc1 = self._eval_acc(acc0, acc1, ct.a, q_lwe=q_ct)
         p0 = ntt_inv(acc0[..., None, :], b)[..., 0, :]
         p1 = ntt_inv(acc1[..., None, :], b)[..., 0, :]
         rev = jnp.concatenate([jnp.arange(1), jnp.arange(big_n - 1, 0, -1)])

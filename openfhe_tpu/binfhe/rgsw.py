@@ -210,3 +210,273 @@ def lwe_tree_sum(x: jnp.ndarray, q, axis: int = -2) -> jnp.ndarray:
             m += 1
         x = mo.add_mod(x[..., : m // 2], x[..., m // 2:], q)
     return x[..., 0]
+
+
+def signed_digit_decompose_one(params: RGSWParams, c: jnp.ndarray,
+                               ) -> jnp.ndarray:
+    """Single-poly variant (digitsG-1 rows; rgsw-acc.cpp second overload)."""
+    q = params.big_q
+    g_bits = int(math.log2(params.base_g))
+    half = jnp.uint32(q >> 1)
+    d = (c.astype(jnp.int32)
+         - jnp.where(c >= half, jnp.int32(q), jnp.int32(0)))
+    r = (d << (32 - g_bits)) >> (32 - g_bits)
+    d = (d - r) >> g_bits
+    rows = []
+    for _ in range(params.digits_g - 1):
+        r = (d << (32 - g_bits)) >> (32 - g_bits)
+        d = (d - r) >> g_bits
+        rows.append(jnp.where(r < 0, r + q, r).astype(jnp.uint32))
+    return jnp.stack(rows, axis=-2)
+
+
+def keygen_rgsw_monomial(key, params: RGSWParams, sk_n_eval: jnp.ndarray,
+                         ms, std: float = 3.19) -> jnp.ndarray:
+    """RGSW encryptions of X^(m * 2N/q) for a list of integer messages
+    (rgsw-acc-dm.cpp KeyGenDM :81 / rgsw-acc-lmkcdey.cpp KeyGenLMKCDEY).
+
+    ms: host ints (may be negative). Returns [len(ms), d2, 2, N] EVAL.
+    """
+    b = params.basis
+    big_n, q_lwe, q = params.ring_dim, params.q_lwe, params.big_q
+    d2 = params.digits_g2
+    cnt = len(ms)
+    k1, k2 = jax.random.split(key)
+    a = sampling.uniform_residues(k1, b, lead_shape=(cnt, d2))[..., 0, :]
+    e = jnp.asarray(
+        sampling.discrete_gaussian(k2, (cnt, d2, big_n), std) % q
+    ).astype(jnp.uint32)
+    a_eval = ntt_fwd(a[..., None, :], b)[..., 0, :]
+    e_eval = ntt_fwd(e[..., None, :], b)[..., 0, :]
+    mm_ = lambda x, y: mo.mul_mod(x[..., None, :], y, b.q, b.r32, b.r32_sh,
+                                  b.m32)[..., 0, :]
+    b_eval = mo.add_mod(e_eval, mm_(a_eval, sk_n_eval), jnp.uint32(q))
+
+    # message monomials +-X^mm in EVAL, per key
+    factor = (2 * big_n) // q_lwe
+    exps, signs = [], []
+    for m in ms:
+        mm = ((int(m) % q_lwe) + q_lwe) % q_lwe * factor
+        sign = 1
+        if mm >= big_n:
+            mm -= big_n
+            sign = -1
+        exps.append(mm)
+        signs.append(sign)
+    mono = monomial_eval(params, jnp.asarray(exps, jnp.uint32))  # [cnt, N]
+    sgn = jnp.asarray(signs, jnp.int32)[:, None]
+    gpow = np.zeros(d2, np.uint32)
+    for r in range(d2):
+        gpow[r] = pow(params.base_g, (r // 2) + 1, q)
+    add = mo.mul_mod(mono[:, None, :],
+                     jnp.asarray(gpow)[None, :, None].astype(jnp.uint32),
+                     b.q[0], b.r32[0], b.r32_sh[0], b.m32[0])   # [cnt,d2,N]
+    add = jnp.where(sgn[:, :, None] > 0, add,
+                    mo.neg_mod(add, jnp.uint32(q)))
+    even = (jnp.arange(d2) % 2 == 0)[None, :, None]
+    a_out = mo.add_mod(a_eval, jnp.where(even, add, 0), jnp.uint32(q))
+    b_out = mo.add_mod(b_eval, jnp.where(even, jnp.uint32(0), add),
+                       jnp.uint32(q))
+    return jnp.stack([a_out, b_out], axis=-2)    # [cnt, d2, 2, N]
+
+
+def external_product_replace(params: RGSWParams, key_rows: jnp.ndarray,
+                             acc0, acc1):
+    """acc <- ExternalProduct(acc, RGSW) (rgsw-acc-dm.cpp AddToAccDM)."""
+    b = params.basis
+    q = jnp.uint32(params.big_q)
+    mm_ = lambda x, y: mo.mul_mod(x, y, b.q[0], b.r32[0], b.r32_sh[0],
+                                  b.m32[0])
+    p0 = ntt_inv(acc0[..., None, :], b)[..., 0, :]
+    p1 = ntt_inv(acc1[..., None, :], b)[..., 0, :]
+    dct = signed_digit_decompose(params, p0, p1)
+    dct = ntt_fwd(dct[..., :, None, :], b)[..., :, 0, :]
+    out0 = lwe_tree_sum(mm_(dct, key_rows[..., :, 0, :]), q)
+    out1 = lwe_tree_sum(mm_(dct, key_rows[..., :, 1, :]), q)
+    return out0, out1
+
+
+# ---------------------------------------------------------------------------
+# DM / AP accumulator (rgsw-acc-dm.cpp)
+# ---------------------------------------------------------------------------
+
+def keygen_dm(key, params: RGSWParams, sk_n_eval: jnp.ndarray,
+              s_lwe, base_r: int, std: float = 3.19):
+    """AP bootstrapping key [n, digitsR, baseR, d2, 2, N]: RGSW(X^(s_i j
+    R^k)) for every digit value j (including j=0, the identity monomial, so
+    the accumulation loop is branch-free on TPU)."""
+    q_lwe = params.q_lwe
+    digits_r = int(math.ceil(math.log(q_lwe) / math.log(base_r)))
+    n = params.n_lwe
+    s_host = np.asarray(s_lwe, np.int64)
+    size = n * digits_r * base_r * params.digits_g2 * 2 * params.ring_dim * 4
+    if size > (6 << 30):
+        raise ValueError("AP key too large for this parameter set; "
+                         "use GINX")
+    rows = []
+    rk = 1
+    ms = []
+    for i in range(n):
+        for k in range(digits_r):
+            for j in range(base_r):
+                ms.append(int(s_host[i]) * j * (base_r ** k))
+    ek = keygen_rgsw_monomial(key, params, sk_n_eval, ms, std)
+    return ek.reshape(n, digits_r, base_r, params.digits_g2, 2,
+                      params.ring_dim), digits_r
+
+
+def eval_acc_dm(params: RGSWParams, bskey, digits_r: int, base_r: int,
+                acc0, acc1, a_lwe: jnp.ndarray):
+    """AP blind rotation: scan over (i, digit) with gathered keys."""
+    q_lwe = params.q_lwe
+    ai = (jnp.uint32(q_lwe) - a_lwe) % jnp.uint32(q_lwe)    # [..., n]
+    digs = []
+    t = ai
+    for _ in range(digits_r):
+        digs.append(t % base_r)
+        t = t // base_r
+    digits = jnp.stack(digs, axis=-1)              # [..., n, digitsR]
+    n = params.n_lwe
+    flat = jnp.moveaxis(digits.reshape(digits.shape[:-2] + (-1,)), -1, 0)
+    keys = bskey.reshape((n * digits_r,) + bskey.shape[2:])
+
+    def step(carry, xs):
+        c0, c1 = carry
+        krows_all, dig = xs                        # [baseR, d2, 2, N]
+        krows = jnp.take(krows_all, dig, axis=0)   # [..., d2, 2, N]
+        return external_product_replace(params, krows, c0, c1), None
+
+    (acc0, acc1), _ = jax.lax.scan(step, (acc0, acc1), (keys, flat))
+    return acc0, acc1
+
+
+# ---------------------------------------------------------------------------
+# LMKCDEY accumulator (rgsw-acc-lmkcdey.cpp) — host-scheduled automorphisms
+# ---------------------------------------------------------------------------
+
+def keygen_auto(key, params: RGSWParams, sk_n_eval: jnp.ndarray, g: int,
+                std: float = 3.19):
+    """Automorphism switching key s(X^g) -> s, digitsG-1 rows
+    (KeyGenAuto :201)."""
+    from openfhe_tpu.lattice.automorph import eval_indices
+    b = params.basis
+    big_n, q = params.ring_dim, params.big_q
+    dg = params.digits_g - 1
+    idx = jnp.asarray(eval_indices(big_n, g % (2 * big_n)))
+    sk_auto = jnp.take(sk_n_eval, idx, axis=-1)
+    k1, k2 = jax.random.split(key)
+    a = sampling.uniform_residues(k1, b, lead_shape=(dg,))[..., 0, :]
+    e = ntt_fwd(sampling.to_residues(
+        sampling.discrete_gaussian(k2, (dg, big_n), std),
+        b)[:, 0][:, None, :], b)[:, 0, :]
+    mm_ = lambda x, y: mo.mul_mod(x, y, b.q[0], b.r32[0], b.r32_sh[0],
+                                  b.m32[0])
+    gpow = jnp.asarray(np.array(
+        [pow(params.base_g, r + 1, q) for r in range(dg)],
+        np.uint32))[:, None]
+    k1v = mo.add_mod(mo.sub_mod(e, mm_(jnp.broadcast_to(
+        sk_auto, (dg, big_n)), gpow.astype(jnp.uint32)), jnp.uint32(q)),
+        mm_(a, sk_n_eval), jnp.uint32(q))
+    return jnp.stack([a, k1v], axis=-2)            # [dg, 2, N]
+
+
+def automorphism_acc(params: RGSWParams, g: int, auto_key, acc0, acc1):
+    """(Automorphism :249): permute acc, keyswitch the a-component."""
+    from openfhe_tpu.lattice.automorph import eval_indices
+    b = params.basis
+    q = jnp.uint32(params.big_q)
+    big_n = params.ring_dim
+    idx = jnp.asarray(eval_indices(big_n, g % (2 * big_n)))
+    a_g = jnp.take(acc0, idx, axis=-1)
+    b_g = jnp.take(acc1, idx, axis=-1)
+    a_coeff = ntt_inv(a_g[..., None, :], b)[..., 0, :]
+    dct = signed_digit_decompose_one(params, a_coeff)
+    dct = ntt_fwd(dct[..., :, None, :], b)[..., :, 0, :]
+    mm_ = lambda x, y: mo.mul_mod(x, y, b.q[0], b.r32[0], b.r32_sh[0],
+                                  b.m32[0])
+    new0 = lwe_tree_sum(mm_(dct, auto_key[..., :, 0, :]), q)
+    new1 = mo.add_mod(b_g, lwe_tree_sum(mm_(dct, auto_key[..., :, 1, :]),
+                                        q), q)
+    return new0, new1
+
+
+def make_log_gen(big_n: int):
+    """Map odd v in [1, 2N) -> signed discrete log base 5 (GetLogGen):
+    v = 5^i -> i; v = -5^i -> -i (i>0); v = 2N-1 (-1) -> sentinel 2N."""
+    m = 2 * big_n
+    table = {}
+    cur = 1
+    for i in range(big_n // 2):
+        table[cur] = i if i else 0
+        table[(m - cur) % m] = -i if i else m    # -1 -> sentinel M
+        cur = cur * 5 % m
+    return table
+
+
+def eval_acc_lmkcdey(params: RGSWParams, rgsw_keys, auto_keys: dict,
+                     num_auto_keys: int, acc0, acc1, a_vec: np.ndarray):
+    """LMKCDEY blind rotation for ONE ciphertext (host-scheduled — the
+    automorphism schedule depends on the public a vector; EvalAcc :68)."""
+    big_n = params.ring_dim
+    m = 2 * big_n
+    nh = big_n // 2
+    log_gen = make_log_gen(big_n)
+    q_lwe = params.q_lwe
+    factor = m // q_lwe
+    permute: dict = {}
+    for i, ai in enumerate(np.asarray(a_vec, np.int64)):
+        v = ((int(q_lwe) - int(ai)) % q_lwe) * factor | 0x1
+        idx = log_gen[v % m]
+        permute.setdefault(idx, []).append(i)
+
+    from openfhe_tpu.lattice.automorph import eval_indices
+    gen = 5
+    n_skips = 0
+    # reference applies AutomorphismTransform(M - gen) to acc[1] only
+    acc1 = jnp.take(acc1, jnp.asarray(eval_indices(big_n, (m - gen) % m)),
+                    axis=-1)
+    for i in range(nh - 1, 0, -1):
+        if -i in permute:
+            if n_skips:
+                g = pow(gen, n_skips, m)
+                acc0, acc1 = automorphism_acc(params, g,
+                                              auto_keys[n_skips],
+                                              acc0, acc1)
+                n_skips = 0
+            for j in permute[-i]:
+                acc0, acc1 = external_product_replace(
+                    params, rgsw_keys[j], acc0, acc1)
+        n_skips += 1
+        if n_skips == num_auto_keys or i == 1:
+            g = pow(gen, n_skips, m)
+            acc0, acc1 = automorphism_acc(params, g, auto_keys[n_skips],
+                                          acc0, acc1)
+            n_skips = 0
+    if m in permute:
+        for j in permute[m]:
+            acc0, acc1 = external_product_replace(params, rgsw_keys[j],
+                                                  acc0, acc1)
+    acc0, acc1 = automorphism_acc(params, (m - gen) % m, auto_keys[0],
+                                  acc0, acc1)
+    for i in range(nh - 1, 0, -1):
+        if i in permute:
+            if n_skips:
+                g = pow(gen, n_skips, m)
+                acc0, acc1 = automorphism_acc(params, g,
+                                              auto_keys[n_skips],
+                                              acc0, acc1)
+                n_skips = 0
+            for j in permute[i]:
+                acc0, acc1 = external_product_replace(params, rgsw_keys[j],
+                                                      acc0, acc1)
+        n_skips += 1
+        if n_skips == num_auto_keys or i == 1:
+            g = pow(gen, n_skips, m)
+            acc0, acc1 = automorphism_acc(params, g, auto_keys[n_skips],
+                                          acc0, acc1)
+            n_skips = 0
+    if 0 in permute:
+        for j in permute[0]:
+            acc0, acc1 = external_product_replace(params, rgsw_keys[j],
+                                                  acc0, acc1)
+    return acc0, acc1

@@ -109,28 +109,51 @@ class CryptoContext:
             p.ring_dim = prm.derive_ring_dim(p, est_log)
         self.ring_dim = p.ring_dim
         self.L = p.mult_depth
-        moduli = prm.select_ckks_moduli(p.ring_dim, p.mult_depth,
-                                        p.scaling_mod_size, p.first_mod_size,
-                                        flexible=self._flexible())
+        self.comp_deg = (p.composite_degree
+                         if self._composite() else 1)
+        if self.comp_deg > 1:
+            moduli = prm.select_ckks_moduli_composite(
+                p.ring_dim, p.mult_depth, p.scaling_mod_size,
+                p.first_mod_size, self.comp_deg)
+        else:
+            moduli = prm.select_ckks_moduli(
+                p.ring_dim, p.mult_depth, p.scaling_mod_size,
+                p.first_mod_size, flexible=self._flexible())
         self._init_common(moduli)
         self.delta = float(2 ** p.scaling_mod_size)
         self.slots = p.batch_size or p.ring_dim // 2
-        # Canonical per-level scaling factors (reference FLEXIBLEAUTO,
-        # ckksrns-cryptoparameters.cpp m_scalingFactorsReal): level 0 uses
-        # the last modulus, then scf[l+1] = scf[l]^2 / q_dropped(l). This
-        # keeps scales exactly consistent across op paths, which matters far
-        # more at 28-bit moduli than at the reference's 59-bit ones.
+        # Canonical per-level scaling factors (reference FLEXIBLEAUTO /
+        # COMPOSITESCALING, ckksrns-cryptoparameters.cpp
+        # m_scalingFactorsReal): level 0 anchors on the group of moduli
+        # dropped first, then scf[l+1] = scf[l]^2 / drop_factor(l). Exact
+        # per-level scales matter far more at 28-bit moduli than at the
+        # reference's 59-bit ones.
         k = len(self.moduli_q)
-        if self._flexible():
-            scf = [float(self.moduli_q[k - 1])]
+        d = self.comp_deg
+        n_levels = (k - d) // d + 1 if d > 1 else k
+        if self._flexible() or self._composite():
+            scf = [float(self.drop_factor(0))]
+            for lvl in range(1, n_levels):
+                scf.append(scf[-1] * scf[-1] / float(
+                    self.drop_factor(lvl - 1)))
         else:
-            scf = [self.delta]
-        for lvl in range(1, k):
-            if self._flexible():
-                scf.append(scf[-1] * scf[-1] / float(self.moduli_q[k - lvl]))
-            else:
-                scf.append(self.delta)
+            scf = [self.delta] * n_levels
         self.scf_real = scf
+
+    def _composite(self) -> bool:
+        return self.params.scaling_technique in (
+            ScalingTechnique.COMPOSITESCALINGAUTO,
+            ScalingTechnique.COMPOSITESCALINGMANUAL)
+
+    def drop_factor(self, level: int) -> int:
+        """Product of the moduli dropped when rescaling from `level`."""
+        d = getattr(self, "comp_deg", 1)
+        k = len(self.moduli_q)
+        hi = k - d * level
+        out = 1
+        for q in self.moduli_q[hi - d:hi]:
+            out *= q
+        return out
 
     def _init_bgv(self):
         from openfhe_tpu.pke.schemes import bgv
@@ -161,7 +184,7 @@ class CryptoContext:
         return 2 * self.ring_dim
 
     def size_ql(self, level: int) -> int:
-        return len(self.moduli_q) - level
+        return len(self.moduli_q) - getattr(self, "comp_deg", 1) * level
 
     def basis_at(self, level: int) -> Basis:
         return self.basis_q.slice(0, self.size_ql(level))
@@ -373,11 +396,14 @@ class CryptoContext:
     def _auto(self) -> bool:
         return self.params.scaling_technique in (
             ScalingTechnique.FIXEDAUTO, ScalingTechnique.FLEXIBLEAUTO,
-            ScalingTechnique.FLEXIBLEAUTOEXT)
+            ScalingTechnique.FLEXIBLEAUTOEXT,
+            ScalingTechnique.COMPOSITESCALINGAUTO)
 
     def _flexible(self) -> bool:
         return self.params.scaling_technique in (
-            ScalingTechnique.FLEXIBLEAUTO, ScalingTechnique.FLEXIBLEAUTOEXT)
+            ScalingTechnique.FLEXIBLEAUTO, ScalingTechnique.FLEXIBLEAUTOEXT,
+            ScalingTechnique.COMPOSITESCALINGAUTO,
+            ScalingTechnique.COMPOSITESCALINGMANUAL)
 
     def scale_at(self, level: int) -> float:
         """Canonical scaling factor for a depth-1 ciphertext at `level`."""
@@ -424,7 +450,7 @@ class CryptoContext:
             # d2 == 1, x.level < l2 (deg already 1 here)
             if x.level == l2:
                 return x
-            ql = self.moduli_q[self.size_ql(l2 - 1) - 1]
+            ql = self.drop_factor(l2 - 1)
             x = self._scalar_mult_raw(
                 x, 1.0, target_scale * float(ql) / x.scale)
             if x.level < l2 - 1:
@@ -636,18 +662,24 @@ class CryptoContext:
         if self.scheme == Scheme.BFVRNS_SCHEME:
             raise ValueError("ModReduce is not applicable to BFV")
         levels = 1 if levels is None else levels
+        from openfhe_tpu.lattice.dcrt import Poly
+        d = getattr(self, "comp_deg", 1)
         for _ in range(levels):
+            # one logical level = comp_deg tower drops (reference
+            # COMPOSITESCALING ModReduceInternalInPlace(compositeDegree))
+            elems = ct.elements
             size = self.size_ql(ct.level)
-            basis = self.basis_at(ct.level)
-            tab = self.rescale_tables(size)
-            from openfhe_tpu.lattice.dcrt import Poly
-            new_elems = tuple(
-                rt.drop_last_and_scale(Poly(c, EVAL), basis, tab).data
-                for c in ct.elements)
-            ql = self.moduli_q[size - 1]
-            ct = ct.replace(elements=new_elems, level=ct.level + 1,
+            scale = ct.scale
+            for j in range(d):
+                basis = self.basis_q.slice(0, size - j)
+                tab = self.rescale_tables(size - j)
+                elems = tuple(
+                    rt.drop_last_and_scale(Poly(c, EVAL), basis, tab).data
+                    for c in elems)
+                scale /= self.moduli_q[size - j - 1]
+            ct = ct.replace(elements=elems, level=ct.level + 1,
                             noise_deg=max(1, ct.noise_deg - 1),
-                            scale=ct.scale / ql)
+                            scale=scale)
         return ct
 
     Rescale = ModReduce
@@ -655,17 +687,19 @@ class CryptoContext:
 
     def LevelReduce(self, ct: Ciphertext, levels: int = 1) -> Ciphertext:
         """Drop towers without scaling (reference LevelReduce)."""
-        size = self.size_ql(ct.level) - levels
+        size = self.size_ql(ct.level + levels)
         return ct.replace(
             elements=tuple(c[..., :size, :] for c in ct.elements),
             level=ct.level + levels)
 
     def Compress(self, ct: Ciphertext, towers_left: int = 1) -> Ciphertext:
         """Reduce to `towers_left` towers before transmission
-        (reference cryptocontext.h:2581)."""
+        (reference cryptocontext.h:2581). With composite scaling the drop
+        rounds down to a whole number of levels."""
         if ct.noise_deg == 2:
             ct = self.ModReduce(ct)
-        drop = self.size_ql(ct.level) - towers_left
+        d = getattr(self, "comp_deg", 1)
+        drop = (self.size_ql(ct.level) - towers_left) // d
         return self.LevelReduce(ct, drop) if drop > 0 else ct
 
     # ------------------------------------------------------------------

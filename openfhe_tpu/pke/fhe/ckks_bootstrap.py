@@ -172,6 +172,9 @@ def eval_bootstrap_setup(cc, level_budget=(1, 1), dim1=(0, 0), slots: int = 0,
     if not cc._flexible():
         raise ValueError("CKKS bootstrapping requires FLEXIBLEAUTO scaling "
                          "(28-bit moduli make FIXED-mode drift fatal)")
+    if getattr(cc, "comp_deg", 1) > 1:
+        raise NotImplementedError("bootstrapping under composite scaling "
+                                  "is planned (single-word chains work)")
     k_chain = len(cc.moduli_q)
     q0 = cc.moduli_q[0]
     sigma1 = cc.scf_real[k_chain - 1]

@@ -82,11 +82,26 @@ class CCParams:
     def validate(self) -> None:
         """Central validation (reference:
         gen-cryptocontext-params-validation.cpp)."""
-        if self.scaling_mod_size > 28 and self.scheme == Scheme.CKKSRNS_SCHEME:
-            raise ValueError(
-                "scaling_mod_size > 28 unsupported on 32-bit TPU lanes; use "
-                "composite scaling (composite_degree > 1)")
-        if self.first_mod_size >= MAX_MODULUS_BITS:
+        if self.scheme == Scheme.CKKSRNS_SCHEME:
+            if self.scaling_technique in (
+                    ScalingTechnique.COMPOSITESCALINGAUTO,
+                    ScalingTechnique.COMPOSITESCALINGMANUAL):
+                if self.composite_degree < 2:
+                    # AUTO derives the degree from the requested scale
+                    self.composite_degree = max(
+                        2, -(-self.scaling_mod_size // 28))
+                per = -(-self.scaling_mod_size // self.composite_degree)
+                if per > 28:
+                    raise ValueError("scaling_mod_size too large for the "
+                                     "composite degree at 32-bit lanes")
+            elif self.scaling_mod_size > 28:
+                raise ValueError(
+                    "scaling_mod_size > 28 unsupported on 32-bit TPU lanes;"
+                    " use composite scaling (COMPOSITESCALING* technique)")
+        if self.first_mod_size >= MAX_MODULUS_BITS and \
+                self.scaling_technique not in (
+                    ScalingTechnique.COMPOSITESCALINGAUTO,
+                    ScalingTechnique.COMPOSITESCALINGMANUAL):
             raise ValueError("first_mod_size must be < 31")
         if self.scheme != Scheme.CKKSRNS_SCHEME and not self.plaintext_modulus:
             raise ValueError("plaintext_modulus required for BFV/BGV")
@@ -176,6 +191,53 @@ def select_ckks_moduli(n: int, mult_depth: int, scaling_mod_size: int,
         used.add(q)
         chain.append(q)
         log_drift += math.log2(q) - scaling_mod_size
+    return chain
+
+
+def select_ckks_moduli_composite(n: int, mult_depth: int,
+                                 scaling_mod_size: int, first_mod_size: int,
+                                 degree: int, forbidden=()) -> list:
+    """Composite-scaling chain (reference COMPOSITESCALING*,
+    ckksrns-parametergeneration.cpp:57-135): each level is a GROUP of
+    `degree` word-sized primes whose product tracks the effective scaling
+    factor 2^scaling_mod_size; the FLEXIBLE recurrence runs on group
+    products: scf[l+1] = scf[l]^2 / prod(group_l)."""
+    order = 2 * n
+    used = set(forbidden)
+
+    def pick_group_exact(target: float, count: int) -> list:
+        # distribute log2(target) over `count` primes, nearest-prime each,
+        # tracking the residual so the group product stays anchored
+        group = []
+        rem_log = math.log2(target)
+        for i in range(count):
+            share_bits = rem_log / (count - i)
+            q = _nearest_prime(2.0 ** share_bits, order, used)
+            if q >= 1 << MAX_MODULUS_BITS:
+                raise ValueError("composite prime exceeded 31 bits")
+            used.add(q)
+            group.append(q)
+            rem_log -= math.log2(q)
+        return group
+
+    first = pick_group_exact(2.0 ** first_mod_size, degree)
+    target = 2.0 ** scaling_mod_size
+    groups = []
+    scf = None
+    for i in range(mult_depth):
+        t = target if i == 0 else scf * scf / target
+        g = pick_group_exact(t, degree)
+        prod = 1.0
+        for q in g:
+            prod *= q
+        scf = prod if i == 0 else scf * scf / prod
+        groups.append(g)
+    # chain layout: [first group, level-(depth-1) group, ..., level-0 group]
+    # — groups in reverse drop order after the first group, so the group
+    # generated first (anchoring scf[0]) sits at the end and drops first
+    chain = list(first)
+    for g in groups[::-1]:
+        chain.extend(g)
     return chain
 
 

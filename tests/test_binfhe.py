@@ -105,3 +105,32 @@ def test_eval_sign_decomp(func_ctx):
     assert np.array_equal(got, [0, 1])
     digits = cc.EvalDecomp(ct)
     assert len(digits) >= 2
+
+
+def test_ap_accumulator():
+    """DM/AP blind rotation (rgsw-acc-dm.cpp) at TOY parameters."""
+    from openfhe_tpu.binfhe.constants import BINFHE_METHOD
+    cc = BinFHEContext(seed=3).GenerateBinFHEContext("TOY",
+                                                     BINFHE_METHOD.AP)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    ct1 = cc.Encrypt(sk, jnp.array([0, 1], jnp.uint32))
+    ct2 = cc.Encrypt(sk, jnp.array([1, 1], jnp.uint32))
+    got = cc.Decrypt(sk, cc.EvalBinGate(BINGATE.AND, ct1, ct2))
+    assert np.array_equal(got, [0, 1])
+
+
+def test_lmkcdey_accumulator():
+    """LMKCDEY automorphism blind rotation (rgsw-acc-lmkcdey.cpp)."""
+    from openfhe_tpu.binfhe.constants import BINFHE_METHOD
+    cc = BinFHEContext(seed=3).GenerateBinFHEContextCustom(
+        n=64, N=1024, q=2048, q_bits=27, base_ks=25, base_g=128,
+        method=BINFHE_METHOD.LMKCDEY, num_auto_keys=10)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    m1 = jnp.array([0, 0, 1, 1], jnp.uint32)
+    m2 = jnp.array([0, 1, 0, 1], jnp.uint32)
+    ct1 = cc.Encrypt(sk, m1)
+    ct2 = cc.Encrypt(sk, m2)
+    got = cc.Decrypt(sk, cc.EvalBinGate(BINGATE.AND, ct1, ct2))
+    assert np.array_equal(got, np.asarray(m1) & np.asarray(m2))
