@@ -35,8 +35,8 @@ def long_division_chebyshev(f, g):
 
     Uses the product rule T_i*T_j = (T_{i+j} + T_{|i-j|})/2.
     """
-    f = list(map(float, f))
-    g = list(map(float, g))
+    f = [complex(v) for v in f]   # complex series supported
+    g = [complex(v) for v in g]
     while len(g) > 1 and abs(g[-1]) < 1e-30:
         g.pop()
     n, m = len(f) - 1, len(g) - 1

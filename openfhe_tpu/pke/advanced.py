@@ -201,7 +201,7 @@ def eval_chebyshev_series_linear(cc, ct: Ciphertext, coefficients,
                                  a: float, b: float) -> Ciphertext:
     """sum c_k T_k(y), y = 2(x-a)/(b-a) - 1, c_0 halved (reference
     convention, ckksrns-advancedshe.cpp EvalChebyshevSeriesLinear)."""
-    coeffs = list(map(float, coefficients))
+    coeffs = [complex(c) for c in coefficients]   # complex series support
     n = len(coeffs) - 1
     # affine map into [-1, 1]
     if (a, b) != (-1.0, 1.0):
@@ -214,8 +214,9 @@ def eval_chebyshev_series_linear(cc, ct: Ciphertext, coefficients,
         y = ct
     t = _cheb_basis(cc, y, max(1, n))
     acc = cc.EvalMult(t[1], coeffs[1] if n >= 1 else 0.0)
+    # (complex coefficients ride the CKKS packed encoding natively)
     for j in range(2, n + 1):
-        if coeffs[j] == 0.0:
+        if coeffs[j] == 0:
             continue
         acc = cc.EvalAdd(acc, cc.EvalMult(t[j], coeffs[j]))
     acc = cc.EvalAdd(acc, coeffs[0] / 2.0)
@@ -226,7 +227,7 @@ def eval_chebyshev_series_ps(cc, ct: Ciphertext, coefficients,
                              a: float, b: float) -> Ciphertext:
     """Paterson-Stockmeyer evaluation via Chebyshev long division
     (reference: EvalChebyshevSeriesPS)."""
-    coeffs = list(map(float, coefficients))
+    coeffs = [complex(c) for c in coefficients]   # complex series support
     coeffs[0] /= 2.0           # fold the reference's c0/2 convention
     n = len(coeffs) - 1
     if n <= 4:
@@ -262,14 +263,14 @@ def eval_chebyshev_series_ps(cc, ct: Ciphertext, coefficients,
         if deg <= k:
             acc = None
             for j in range(1, deg + 1):
-                if f[j] == 0.0:
+                if f[j] == 0:
                     continue
                 term = cc.EvalMult(babies[j], f[j])
                 acc = term if acc is None else cc.EvalAdd(acc, term)
             if acc is None:
-                return cc.EvalMult(babies[1], 0.0) if f[0] == 0.0 else \
+                return cc.EvalMult(babies[1], 0.0) if f[0] == 0 else \
                     cc.EvalAdd(cc.EvalMult(babies[1], 0.0), f[0])
-            return cc.EvalAdd(acc, f[0]) if f[0] != 0.0 else acc
+            return cc.EvalAdd(acc, f[0]) if f[0] != 0 else acc
         # largest precomputed giant <= deg
         g = max(d for d in giants if d <= deg)
         tg = [0.0] * (g + 1)

@@ -637,10 +637,13 @@ class CryptoContext:
                 and ct.noise_deg == 2:
             ct = self.ModReduce(ct)
         if pt.level != ct.level and self.scheme != Scheme.BFVRNS_SCHEME:
+            # keep the PLAINTEXT's slot count: linear-transform diagonals
+            # are encoded wider than the ciphertext's logical slots
             pt = self._encode_like_mult(ct, pt.values) \
                 if self.scheme == Scheme.BGVRNS_SCHEME else \
                 self.MakeCKKSPackedPlaintext(pt.values, scale_deg=1,
-                                             level=ct.level, slots=ct.slots)
+                                             level=ct.level,
+                                             slots=pt.slots or ct.slots)
         basis = self.basis_at(ct.level)
         mm = lambda x: mo.mul_mod(x, pt.poly, basis.q, basis.r32,
                                   basis.r32_sh, basis.m32)
@@ -722,6 +725,38 @@ class CryptoContext:
 
     def EvalConjugate(self, ct: Ciphertext) -> Ciphertext:
         return self.EvalAutomorphism(ct, conjugation_index(self.ring_dim))
+
+    # ------------------------------------------------------------------
+    # hoisted rotations (reference EvalFastRotationPrecompute /
+    # EvalFastRotation, cryptocontext.h:2331-2410)
+    # ------------------------------------------------------------------
+
+    def EvalFastRotationPrecompute(self, ct: Ciphertext):
+        """Digit-decompose c1 once; share across many rotations."""
+        if self.params.ks_technique != KeySwitchTechnique.HYBRID:
+            return None
+        tabs = self.hybrid_tables(self.size_ql(ct.level))
+        return hybrid.eval_fast_rotation_precompute(ct.elements[1], tabs)
+
+    def EvalFastRotation(self, ct: Ciphertext, index: int, m: int = 0,
+                         digits=None) -> Ciphertext:
+        """Rotation using hoisted digits (falls back to EvalRotate when
+        hoisting is unavailable)."""
+        if digits is None:
+            return self.EvalRotate(ct, index)
+        g = rotation_automorphism_index(index, self.ring_dim)
+        return self._fast_automorphism(ct, g, digits)
+
+    def _fast_automorphism(self, ct: Ciphertext, g: int,
+                           digits) -> Ciphertext:
+        ek = self.eval_automorphism_keys[ct.key_tag][g]
+        tabs = self.hybrid_tables(self.size_ql(ct.level))
+        d0, d1 = hybrid.eval_fast_rotation_core(digits, g, ek, tabs,
+                                                self.ring_dim)
+        idx = jnp.asarray(eval_indices(self.ring_dim, g))
+        c0_rot = jnp.take(ct.elements[0], idx, axis=-1)
+        basis = self.basis_at(ct.level)
+        return ct.replace(elements=(mo.add_mod(c0_rot, d0, basis.q), d1))
 
 
     # ------------------------------------------------------------------
@@ -951,6 +986,25 @@ class CryptoContext:
     def EvalBootstrap(self, ct, num_iterations: int = 1, precision: int = 0):
         from openfhe_tpu.pke.fhe import ckks_bootstrap as bt
         return bt.eval_bootstrap(self, ct, num_iterations, precision)
+
+    # ------------------------------------------------------------------
+    # vectorized functional bootstrapping (reference: cryptocontext.h:3568
+    # EvalFBT / EvalMVB, via the RLWE schemelet)
+    # ------------------------------------------------------------------
+
+    def EvalFBTSetup(self, num_slots: int = 0, p_in: int = 8,
+                     correction_factor: int = 0):
+        from openfhe_tpu.pke.fhe import fbt
+        fbt.eval_fbt_setup(self, num_slots, p_in, correction_factor)
+
+    def EvalFBTKeyGen(self, sk, slots: int = 0):
+        from openfhe_tpu.pke.fhe import fbt
+        fbt.eval_fbt_keygen(self, sk, slots)
+
+    def EvalFBT(self, ct, lut, p_in: int, decode: bool = True,
+                p_out: int = 0):
+        from openfhe_tpu.pke.fhe import fbt
+        return fbt.eval_fbt(self, ct, lut, p_in, decode, p_out)
 
     # ------------------------------------------------------------------
     # CKKS <-> FHEW scheme switching (reference: cryptocontext.h:3653-3753)

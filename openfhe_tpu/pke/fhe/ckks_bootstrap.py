@@ -316,8 +316,11 @@ def eval_linear_transform(cc, ct: Ciphertext, diags: list, bstep: int,
     n_diags = len(diags)
     gstep = int(math.ceil(n_diags / bstep))
     rots = {0: ct}
+    # hoisting: decompose c1 once, share across all baby-step rotations
+    # (reference EvalLinearTransform's EvalFastRotationPrecompute)
+    hoisted = cc.EvalFastRotationPrecompute(ct)
     for i in range(1, min(bstep, n_diags)):
-        rots[i] = cc.EvalRotate(ct, i)
+        rots[i] = cc.EvalFastRotation(ct, i, digits=hoisted)
     outer = None
     for j in range(gstep):
         inner = None

@@ -216,3 +216,28 @@ def keyswitch_core(c: jnp.ndarray, ek: EvalKey, tabs: HybridTables):
     out1 = rt.approx_mod_down(ext1[:size_ql], ext1[size_ql:], tabs.basis_ql,
                               tabs.basis_p, tabs.moddown)
     return out0, out1
+
+
+def eval_fast_rotation_precompute(c1: jnp.ndarray, tabs: HybridTables):
+    """Hoisted digit decomposition (reference EvalFastRotationPrecompute,
+    keyswitch-hybrid.cpp EvalKeySwitchPrecomputeCore): the expensive
+    ApproxModUp runs once per ciphertext and is shared by every rotation."""
+    return _decompose_digits(c1, tabs)
+
+
+def eval_fast_rotation_core(digits: list, g: int, ek, tabs: HybridTables,
+                            ring_dim: int):
+    """Rotation-by-g keyswitch on hoisted digits (reference
+    EvalFastRotationExt): the automorphism permutes the extended digits
+    (sigma_g commutes with the CRT mod-up), then the usual inner product
+    and ApproxModDown."""
+    from openfhe_tpu.lattice.automorph import eval_indices
+    idx = jnp.asarray(eval_indices(ring_dim, g))
+    rot_digits = [jnp.take(d, idx, axis=-1) for d in digits]
+    ext0, ext1 = _fast_core_ext(rot_digits, ek, tabs)
+    size_ql = tabs.size_ql
+    out0 = rt.approx_mod_down(ext0[:size_ql], ext0[size_ql:], tabs.basis_ql,
+                              tabs.basis_p, tabs.moddown)
+    out1 = rt.approx_mod_down(ext1[:size_ql], ext1[size_ql:], tabs.basis_ql,
+                              tabs.basis_p, tabs.moddown)
+    return out0, out1
