@@ -59,3 +59,9 @@ class Plaintext:
     encoding: str = struct.field(pytree_node=False, default="CKKS_PACKED")
     values: Any = struct.field(pytree_node=False, default=None)  # host view
     scale_int: int = struct.field(pytree_node=False, default=1)
+    # log2 of the observed decryption noise (reference GetLogError; filled
+    # by Decrypt under EXEC_NOISE_ESTIMATION)
+    log_error: float = struct.field(pytree_node=False, default=0.0)
+
+    def GetLogError(self) -> float:
+        return self.log_error

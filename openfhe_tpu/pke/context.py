@@ -377,13 +377,39 @@ class CryptoContext:
                           scale_int=plaintext.scale_int)
 
     def Decrypt(self, sk: PrivateKey, ct: Ciphertext) -> Plaintext:
+        from openfhe_tpu.pke.constants import (DecryptionNoiseMode,
+                                               ExecutionMode)
         basis = self.basis_at(ct.level)
         b = rns_pke.decrypt_core(ct.elements, sk, basis)
         if self.scheme == Scheme.CKKSRNS_SCHEME:
+            # CKKS noise-flooding decryption (reference NoiseFlooding:
+            # constants-defs.h:131, ckks-noise-flooding.cpp): in evaluation
+            # mode with flooding enabled, add ~2^noise_estimate Gaussian
+            # noise so the decryption output leaks nothing beyond the result
+            if (self.params.decryption_noise_mode ==
+                    DecryptionNoiseMode.NOISE_FLOODING_DECRYPT
+                    and self.params.execution_mode ==
+                    ExecutionMode.EXEC_EVALUATION
+                    and self.params.noise_estimate > 0):
+                from openfhe_tpu.math import sampling
+                sigma = 2.0 ** self.params.noise_estimate
+                flood = sampling.discrete_gaussian(
+                    self.next_rng(), (self.ring_dim,), sigma=min(
+                        sigma, 2.0 ** 30))
+                b = mo.add_mod(b, sampling.to_residues(flood, basis),
+                               basis.q)
             vals = self.decode_ckks(np.asarray(b), ct.level, ct.scale,
                                     ct.slots)
+            log_err = 0.0
+            if (self.params.execution_mode ==
+                    ExecutionMode.EXEC_NOISE_ESTIMATION):
+                # imaginary residue of a real computation estimates the
+                # accumulated noise (reference GetLogError convention)
+                imag = np.abs(np.imag(vals))
+                log_err = float(np.log2(max(imag.max() * ct.scale, 1.0)))
             return Plaintext(poly=b, fmt=COEFF, level=ct.level,
-                             scale=ct.scale, slots=ct.slots, values=vals)
+                             scale=ct.scale, slots=ct.slots, values=vals,
+                             log_error=log_err)
         from openfhe_tpu.pke.schemes import bfv, bgv
         if self.scheme == Scheme.BGVRNS_SCHEME:
             return bgv.decrypt_tail(self, b, ct)

@@ -462,8 +462,45 @@ def eval_bootstrap(cc, ct: Ciphertext, num_iterations: int = 1,
 
 def _eval_bootstrap_two_rounds(cc, ct: Ciphertext, precision: int
                                ) -> Ciphertext:
-    """Iterative (2-round) Meta-BTS bootstrap for higher precision
-    (reference EvalBootstrap numIterations=2 path, ckksrns-fhe.cpp:465-512).
-    Planned: requires careful level alignment between rounds."""
-    raise NotImplementedError("2-round bootstrapping lands after the "
-                              "single-round path is validated")
+    """Iterative (Meta-BTS) 2-round bootstrap (reference EvalBootstrap
+    numIterations=2, ckksrns-fhe.cpp:465-512): bootstrap once, scale the
+    residual error up by 2^precision, bootstrap the error, subtract the
+    refined error estimate. Gains ~precision bits over one round when the
+    base bootstrap error is noise-dominated; at 28-bit single-word chains
+    the systematic EvalMod error limits the benefit (composite scaling
+    restores it).
+    """
+    if precision == 0:
+        # the error magnitude e1*2^p must stay inside the sine's accurate
+        # range; at 28-bit scales e1 ~ 2^-5, so p=3 is the sweet spot
+        precision = 3
+    pow2 = 1 << precision
+
+    if ct.noise_deg > 1:
+        ct = cc.ModReduce(ct)
+
+    # round 1
+    ct1 = eval_bootstrap(cc, ct, 1)
+    if ct1.noise_deg > 1:
+        ct1 = cc.ModReduce(ct1)
+
+    if ct.level <= ct1.level:
+        # input had at least as many towers as one bootstrap provides;
+        # nothing to refine (reference ckksrns-fhe.cpp:477-479)
+        return ct1
+
+    # error extraction at the input's level: both operands are canonical
+    # there (anchored scf), so the subtraction needs no scale adjustment
+    ct1_down = cc.LevelReduce(ct1, ct.level - ct1.level)
+    e_up = cc.EvalSub(
+        mult_by_integer(cc, ct1_down, pow2).replace(scale=ct.scale),
+        mult_by_integer(cc, ct, pow2))
+    # e_up encrypts 2^p * e1 (the m parts cancel)
+
+    err_boot = eval_bootstrap(cc, e_up, 1)
+    if err_boot.noise_deg > 1:
+        err_boot = cc.ModReduce(err_boot)
+
+    # refine: out = ct1 - e1_estimate = ct1 - err_boot / 2^p
+    err_scaled = err_boot.replace(scale=err_boot.scale * pow2)
+    return cc.EvalSub(ct1, err_scaled)

@@ -61,3 +61,20 @@ def test_bootstrap_then_compute():
     ct = cc.EvalMult(ct, ct)        # x^2 after refresh
     dec = cc.Decrypt(kp.secret_key, ct)
     assert np.abs(dec.values.real - x * x).max() < 0.2
+
+
+def test_two_round_bootstrap():
+    """Meta-BTS 2-round path (reference ckksrns-fhe.cpp:465-512)."""
+    cc = make_boot_ctx(256)
+    cc.EvalBootstrapSetup(slots=8)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    cc.EvalBootstrapKeyGen(kp.secret_key, 8)
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, 8)
+    ct = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(x, slots=8))
+    ct = cc.LevelReduce(ct, cc.size_ql(0) - 4)     # deplete to 4 towers
+    out = cc.EvalBootstrap(ct, num_iterations=2)
+    err = np.abs(cc.Decrypt(kp.secret_key, out).values.real - x).max()
+    assert err < 0.05
+    assert cc.size_ql(out.level) > 4
