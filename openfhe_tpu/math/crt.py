@@ -44,8 +44,29 @@ def to_float(centered_obj: np.ndarray) -> np.ndarray:
     return np.array([float(v) for v in centered_obj], np.float64)
 
 
+def interpolate_centered_float(residues: np.ndarray, moduli) -> np.ndarray:
+    """Centered CRT value as float64 (the CKKS decode hot path).
+
+    Uses the native C++ Garner kernel (openfhe_tpu/native.py, ~8x the
+    python-object path) when built; exact to float64 rounding either way.
+    """
+    from openfhe_tpu import native
+    fast = native.crt_interpolate_centered_double(
+        np.ascontiguousarray(residues, np.uint32), moduli)
+    if fast is not None:
+        return fast
+    return to_float(interpolate_centered(residues, moduli))
+
+
 def to_residues_host(values, moduli) -> np.ndarray:
     """Host lift of (possibly big) signed ints -> [k, N] uint32 residues."""
+    vals_arr = np.asarray(values)
+    if vals_arr.dtype != object:
+        # int64-safe inputs take the native kernel when available
+        from openfhe_tpu import native
+        fast = native.to_residues_i64(vals_arr.astype(np.int64), moduli)
+        if fast is not None:
+            return fast
     vals = np.asarray(values, dtype=object)
     out = np.zeros((len(moduli), len(vals)), np.uint32)
     for i, m in enumerate(moduli):

@@ -341,9 +341,8 @@ class CryptoContext:
     def decode_ckks(self, coeff_residues: np.ndarray, level: int,
                     scale: float, slots: int) -> np.ndarray:
         size = coeff_residues.shape[-2]
-        centered = crt.interpolate_centered(coeff_residues,
-                                            tuple(self.moduli_q[:size]))
-        vals = crt.to_float(centered)
+        vals = crt.interpolate_centered_float(coeff_residues,
+                                              tuple(self.moduli_q[:size]))
         return ckks_packed.decode_from_coeffs(vals, self.ring_dim, slots,
                                               scale)
 
