@@ -40,6 +40,7 @@ from openfhe_tpu.math import crt
 from openfhe_tpu.math import modops as mo
 from openfhe_tpu.ops.ntt import ntt_fwd, ntt_inv
 from openfhe_tpu.pke.ciphertext import Ciphertext
+from openfhe_tpu.pke.fhe import fft_transform as fftt
 
 
 # ---------------------------------------------------------------------------
@@ -64,6 +65,10 @@ class CKKSBootstrapPrecom:
     runtime_scalar: float = 1.0    # folded scalar applied right after raise
     boost1: int = 1                # integer headroom multiplier after EvalMod
     boost2: int = 1                # integer headroom multiplier after S2C
+    # FFT-factorized C2S/S2C (level budget > 1): lists of fft_transform
+    # .FFTStage in application order; None selects the dense transform
+    c2s_stages: list | None = None
+    s2c_stages: list | None = None
 
 
 def _adaptive_k(n: int, secret_dist) -> int:
@@ -132,8 +137,10 @@ def eval_bootstrap_setup(cc, level_budget=(1, 1), dim1=(0, 0), slots: int = 0,
                          correction_factor: int = 0) -> None:
     """(reference EvalBootstrapSetup, ckksrns-fhe.cpp:85)
 
-    Only level budget (1,1) — dense linear transforms — is supported so far;
-    the FFT-factorized multi-level C2S/S2C is a planned extension.
+    level_budget = (lEnc, lDec): 1 selects the dense one-level linear
+    transform; > 1 selects the FFT-factorized staged transform consuming
+    lEnc/lDec levels (fft_transform.py) — required at production slot counts
+    where the dense transform's slots-many diagonals are infeasible.
     """
     n = cc.ring_dim
     slots = slots or n // 2
@@ -186,24 +193,37 @@ def eval_bootstrap_setup(cc, level_budget=(1, 1), dim1=(0, 0), slots: int = 0,
     enc_scale = 1.0 / k_bound
     dec_scale = 1.0 / v_factor
 
-    if sparse:
+    log2s = max(1, int(math.log2(slots)))
+    l_enc = max(1, min(int(level_budget[0]), log2s))
+    l_dec = max(1, min(int(level_budget[1]), log2s))
+
+    c2s, s2c = [], []
+    c2s_stages = s2c_stages = None
+    pt_slots = 2 * slots if sparse else slots
+    if l_enc > 1:
+        c2s_stages, _ = fftt.build_c2s_stages(slots, n, l_enc, dim1[0],
+                                              enc_scale)
+    elif sparse:
         # vertical [U0^H; U1^H]: (2s x s); s diagonals of length 2s
         mat_c2s = np.concatenate([u0h, u1h], axis=0)      # [2s, s]
         c2s = _bsgs_diagonals(mat_c2s, slots, bstep_enc, enc_scale)
+    else:
+        c2s = _bsgs_diagonals(u0h, slots, bstep_enc, enc_scale)
+
+    if l_dec > 1:
+        s2c_stages, _ = fftt.build_s2c_stages(slots, n, l_dec, dim1[1],
+                                              dec_scale)
+    elif sparse:
         # horizontal [U0 | U1]: (s x 2s); s diagonals of length 2s read
         # through a (2s x 2s) wrap of the row index
         mat_s2c = np.concatenate([u0, u1], axis=1)        # [s, 2s]
         rows = 2 * slots
-        s2c = []
         for d in range(slots):
             idx = np.arange(rows)
             diag = mat_s2c[idx % slots, (idx + d) % (2 * slots)] * dec_scale
             s2c.append(np.roll(diag, bstep_dec * (d // bstep_dec)))
-        pt_slots = 2 * slots
     else:
-        c2s = _bsgs_diagonals(u0h, slots, bstep_enc, enc_scale)
         s2c = _bsgs_diagonals(u0, slots, bstep_dec, dec_scale)
-        pt_slots = slots
 
     cc._boot_precom = getattr(cc, "_boot_precom", {})
     cc._boot_precom[slots] = CKKSBootstrapPrecom(
@@ -212,7 +232,8 @@ def eval_bootstrap_setup(cc, level_budget=(1, 1), dim1=(0, 0), slots: int = 0,
         c2s_diags=c2s, s2c_diags=s2c, bstep_enc=bstep_enc,
         bstep_dec=bstep_dec, pt_slots=pt_slots, sparse=sparse,
         runtime_scalar=sigma1 / (float(n) * float(q0)),
-        boost1=boost1, boost2=boost2)
+        boost1=boost1, boost2=boost2,
+        c2s_stages=c2s_stages, s2c_stages=s2c_stages)
 
 
 def bootstrap_rotation_indices(cc, slots: int) -> list:
@@ -221,10 +242,14 @@ def bootstrap_rotation_indices(cc, slots: int) -> list:
     n = cc.ring_dim
     idx = set()
     # BSGS baby and giant steps (enc and dec share bstep here)
-    for b in (p.bstep_enc, p.bstep_dec):
-        g = int(math.ceil(slots / b))
-        idx.update(range(1, b))
-        idx.update(b * j for j in range(1, g))
+    for stages, b in ((p.c2s_stages, p.bstep_enc),
+                      (p.s2c_stages, p.bstep_dec)):
+        if stages is not None:
+            idx.update(fftt.stage_rotation_indices(stages))
+        else:
+            g = int(math.ceil(slots / b))
+            idx.update(range(1, b))
+            idx.update(b * j for j in range(1, g))
     if p.sparse:
         j = slots
         while j < n // 2:
@@ -411,8 +436,11 @@ def eval_bootstrap(cc, ct: Ciphertext, num_iterations: int = 1,
     raised = cc.ModReduce(raised)
 
     # ---- CoeffsToSlots ----
-    ctxt_enc = eval_linear_transform(cc, raised, p.c2s_diags, p.bstep_enc,
-                                     p.pt_slots)
+    if p.c2s_stages is not None:
+        ctxt_enc = fftt.eval_fft_stages(cc, raised, p.c2s_stages, p.pt_slots)
+    else:
+        ctxt_enc = eval_linear_transform(cc, raised, p.c2s_diags,
+                                         p.bstep_enc, p.pt_slots)
     conj = cc.EvalConjugate(ctxt_enc)
     if p.sparse:
         ctxt_enc = cc.EvalAdd(ctxt_enc, conj)
@@ -450,8 +478,12 @@ def eval_bootstrap(cc, ct: Ciphertext, num_iterations: int = 1,
         ctxt_mod = mult_by_integer(cc, ctxt_mod, p.boost1)
 
     # ---- SlotsToCoeffs ----
-    ctxt_dec = eval_linear_transform(cc, ctxt_mod, p.s2c_diags, p.bstep_dec,
-                                     p.pt_slots)
+    if p.s2c_stages is not None:
+        ctxt_dec = fftt.eval_fft_stages(cc, ctxt_mod, p.s2c_stages,
+                                        p.pt_slots)
+    else:
+        ctxt_dec = eval_linear_transform(cc, ctxt_mod, p.s2c_diags,
+                                         p.bstep_dec, p.pt_slots)
     ctxt_dec = cc.ModReduce(ctxt_dec)
     if p.sparse:
         ctxt_dec = cc.EvalAdd(ctxt_dec, cc.EvalRotate(ctxt_dec, slots))

@@ -84,6 +84,17 @@ def _obj_to_parts(obj):
     if isinstance(obj, EvalKey):
         return "EvalKey", {"key_tag": obj.key_tag}, {"bv": obj.bv,
                                                      "av": obj.av}
+    from openfhe_tpu.binfhe import lwe as _lwe
+    if isinstance(obj, _lwe.LWECiphertext):
+        return "LWECiphertext", {"modulus": obj.modulus,
+                                 "pt_modulus": obj.pt_modulus}, \
+            {"a": obj.a, "b": obj.b}
+    if isinstance(obj, _lwe.LWEPrivateKey):
+        return "LWEPrivateKey", {}, {"s": obj.s}
+    if isinstance(obj, _lwe.LWESwitchingKey):
+        return "LWESwitchingKey", {"mod_ks": obj.mod_ks,
+                                   "base_ks": obj.base_ks}, \
+            {"a": obj.a, "b": obj.b}
     if isinstance(obj, dict):  # eval-key maps (tag -> EvalKey / {g: EvalKey})
         raise TypeError("use serialize_eval_key_map for key maps")
     raise TypeError(f"cannot serialize {type(obj)}")
@@ -110,6 +121,19 @@ def _parts_to_obj(header, arrays):
     if t == "EvalKey":
         return EvalKey(bv=arrays["bv"], av=arrays["av"],
                        key_tag=m["key_tag"])
+    if t == "LWECiphertext":
+        from openfhe_tpu.binfhe import lwe as _lwe
+        return _lwe.LWECiphertext(a=arrays["a"], b=arrays["b"],
+                                  modulus=m["modulus"],
+                                  pt_modulus=m["pt_modulus"])
+    if t == "LWEPrivateKey":
+        from openfhe_tpu.binfhe import lwe as _lwe
+        return _lwe.LWEPrivateKey(s=arrays["s"])
+    if t == "LWESwitchingKey":
+        from openfhe_tpu.binfhe import lwe as _lwe
+        return _lwe.LWESwitchingKey(a=arrays["a"], b=arrays["b"],
+                                    mod_ks=m["mod_ks"],
+                                    base_ks=m["base_ks"])
     raise TypeError(f"unknown serialized type {t}")
 
 

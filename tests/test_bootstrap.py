@@ -78,3 +78,25 @@ def test_two_round_bootstrap():
     err = np.abs(cc.Decrypt(kp.secret_key, out).values.real - x).max()
     assert err < 0.05
     assert cc.size_ql(out.level) > 4
+
+
+@pytest.mark.parametrize("n,slots,budget",
+                         [(256, 8, (2, 2)), (64, 32, (3, 2)),
+                          (256, 16, (2, 3))],
+                         ids=["sparse22", "full32", "sparse23"])
+def test_bootstrap_fft_factorized(n, slots, budget):
+    """FFT-factorized C2S/S2C (level budget > 1) must match the dense path
+    (reference EvalCoeffsToSlots/EvalSlotsToCoeffs vs EvalLinearTransform)."""
+    cc = make_boot_ctx(n, depth=20)
+    cc.EvalBootstrapSetup(level_budget=budget, slots=slots)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    cc.EvalBootstrapKeyGen(kp.secret_key, slots)
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, slots)
+    ct = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(x, slots=slots))
+    ct2 = cc.EvalBootstrap(ct)
+    assert cc.size_ql(ct2.level) > 2
+    dec = cc.Decrypt(kp.secret_key, ct2)
+    assert np.abs(dec.values.real - x).max() < 0.12
