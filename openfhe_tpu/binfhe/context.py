@@ -50,6 +50,8 @@ class BinFHEContext:
             raise ValueError(f"unknown parameter set {param_set!r}; "
                              f"choose one of {sorted(PARAM_SETS)}")
         p = PARAM_SETS[param_set]
+        if isinstance(method, str):
+            method = BINFHE_METHOD[method]
         self.method = method
         self.n = p.lattice_param
         self.N = p.cyc_order // 2
@@ -78,6 +80,8 @@ class BinFHEContext:
         binfhecontext.cpp:45). Use for experiments/tests; the named
         parameter sets carry the published security estimates."""
         from openfhe_tpu.math import nbtheory
+        if isinstance(method, str):
+            method = BINFHE_METHOD[method]
         self.method = method
         self.n, self.N, self.q, self.std = n, N, q, std
         self.base_ks = base_ks
@@ -97,11 +101,25 @@ class BinFHEContext:
         self.sk = lwe.key_gen(self.next_rng(), self.n)
         return self.sk
 
+    def KeyGenPair(self):
+        """(binfhecontext.cpp:210) -> (pk, skN) at ring dimension N mod Q;
+        BTKeyGen afterwards reuses this skN so pk-encrypted ciphertexts
+        switch onto the bootstrap path."""
+        self.sk_n = lwe.key_gen(self.next_rng(), self.N)
+        pk = lwe.pub_key_gen(self.next_rng(), self.sk_n, self.Q)
+        return pk, self.sk_n
+
+    def PubKeyGen(self, sk_n: lwe.LWEPrivateKey) -> lwe.LWEPublicKey:
+        """(binfhecontext.cpp:214)"""
+        return lwe.pub_key_gen(self.next_rng(), sk_n, self.Q)
+
     def BTKeyGen(self, sk: lwe.LWEPrivateKey) -> None:
         """(binfhe-base-scheme.cpp BTKeyGen :40): KS key + blind-rotation
         key for the ring secret, per the configured method."""
         b = self.rgsw.basis
-        sk_n = lwe.key_gen(self.next_rng(), self.N)
+        sk_n = getattr(self, "sk_n", None)
+        if sk_n is None:
+            sk_n = lwe.key_gen(self.next_rng(), self.N)
         sk_n_res = jnp.asarray(
             (np.asarray(sk_n.s) % self.Q).astype(np.uint32))[None, :]
         sk_n_eval = ntt_fwd(sk_n_res[None, :, :], b)[0, 0]
@@ -160,8 +178,22 @@ class BinFHEContext:
     # encryption
     # ------------------------------------------------------------------
 
-    def Encrypt(self, sk: lwe.LWEPrivateKey, m, p: int = 4,
-                q: int | None = None) -> lwe.LWECiphertext:
+    def Encrypt(self, sk, m, p: int = 4, q: int | None = None,
+                output: str = "SMALL_DIM") -> lwe.LWECiphertext:
+        """Secret-key or public-key encryption (binfhecontext.cpp:220/:235).
+        With a public key the ciphertext is produced at (N, Q) and, for
+        SMALL_DIM output, switched down to (n, q) through the BTKeyGen
+        switching key."""
+        if isinstance(sk, lwe.LWEPublicKey):
+            ct = lwe.encrypt_pub(self.next_rng(), sk, m, q or self.Q, p,
+                                 self.std)
+            if output == "SMALL_DIM":
+                if getattr(self, "ks_key", None) is None:
+                    raise ValueError("public-key SMALL_DIM encryption needs "
+                                     "BTKeyGen first (switching key)")
+                ct = lwe.switch_ct_to_qn(self.ks_key, self.q, ct)
+                ct = ct.replace(pt_modulus=p)
+            return ct
         return lwe.encrypt(self.next_rng(), sk, m, q or self.q, p, self.std)
 
     def Decrypt(self, sk: lwe.LWEPrivateKey, ct: lwe.LWECiphertext,

@@ -85,6 +85,52 @@ def key_gen(key, n: int, dist: str = "ternary") -> LWEPrivateKey:
     return LWEPrivateKey(s=sampling.ternary(key, (n,)))
 
 
+def pub_key_gen(key, sk: LWEPrivateKey, q: int,
+                std: float = 3.19) -> LWEPublicKey:
+    """(lwe-pke.cpp:75 PubKeyGen) pk = (A, v = A s + e) at dimension N.
+
+    TPU note: the reference's per-row OpenMP loop is one [N, N] signed
+    matmul here."""
+    n = sk.s.shape[-1]
+    k1, k2 = jax.random.split(key)
+    A = jax.random.randint(k1, (n, n), 0, q, dtype=jnp.uint32)
+    e = sampling.discrete_gaussian(k2, (n,), std)
+    v = mo.add_mod(_signed_dot_mod(A, sk.s, q),
+                   jnp.asarray(e % q, jnp.uint32), jnp.uint32(q))
+    return LWEPublicKey(A=A, v=v)
+
+
+def key_gen_pair(key, n: int, q: int, dist: str = "ternary"):
+    """(lwe-pke.cpp:62 KeyGenPair) -> (pk, skN)."""
+    k1, k2 = jax.random.split(key)
+    sk = key_gen(k1, n, dist)
+    return pub_key_gen(k2, sk, q), sk
+
+
+def encrypt_pub(key, pk: LWEPublicKey, m, q: int, p: int = 4,
+                std: float = 3.19) -> LWECiphertext:
+    """(lwe-pke.cpp:112 EncryptN) public-key LWE encryption at dimension N:
+    a = A^T s' + e_a,  b = m*(q/p) + <v, s'> + e_b with ephemeral ternary
+    s'."""
+    m = jnp.asarray(m, jnp.uint32)
+    n = pk.v.shape[-1]
+    k1, k2, k3 = jax.random.split(key, 3)
+    sp = sampling.ternary(k1, m.shape + (n,))
+    e_a = sampling.discrete_gaussian(k2, m.shape + (n,), std)
+    e_b = sampling.discrete_gaussian(k3, m.shape, std)
+    # a_i = sum_j A[j][i] * sp_j  (+ e_a); sp broadcasts across rows i
+    asp = _signed_dot_mod(jnp.swapaxes(
+        jnp.broadcast_to(pk.A, m.shape + pk.A.shape), -1, -2),
+        sp[..., None, :], q)
+    a = mo.add_mod(asp, jnp.asarray(e_a % q, jnp.uint32), jnp.uint32(q))
+    b = mo.add_mod((m % p) * jnp.uint32(q // p),
+                   jnp.asarray(e_b % q, jnp.uint32), jnp.uint32(q))
+    b = mo.add_mod(b, _signed_dot_mod(
+        jnp.broadcast_to(pk.v, m.shape + pk.v.shape), sp, q),
+        jnp.uint32(q))
+    return LWECiphertext(a=a, b=b, modulus=q, pt_modulus=p)
+
+
 def encrypt(key, sk: LWEPrivateKey, m, q: int, p: int = 4,
             std: float = 3.19) -> LWECiphertext:
     """b = a*s + e + m*(q/p) (lwe-pke.cpp:101). `m` may be batched."""

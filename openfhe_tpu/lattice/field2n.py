@@ -51,17 +51,11 @@ class Field2n:
         return float(np.abs(self.data).max())
 
     # -- format ------------------------------------------------------------
-    def _psi(self) -> np.ndarray:
-        n = len(self.data)
-        return np.exp(1j * np.pi * np.arange(n) / n)
-
     def SwitchFormat(self) -> "Field2n":
-        n = len(self.data)
+        from openfhe_tpu.math import dftransform as dft
         if self.fmt == COEFFICIENT:
-            return Field2n(np.fft.ifft(self.data * self._psi()) * n,
-                           EVALUATION)
-        coeff = np.fft.fft(self.data) / n * np.conj(self._psi())
-        return Field2n(coeff, COEFFICIENT)
+            return Field2n(dft.forward_transform(self.data), EVALUATION)
+        return Field2n(dft.inverse_transform(self.data), COEFFICIENT)
 
     def SetFormat(self, fmt: str) -> "Field2n":
         return self if fmt == self.fmt else self.SwitchFormat()

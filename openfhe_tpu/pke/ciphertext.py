@@ -29,6 +29,11 @@ class Ciphertext:
     encoding: str = struct.field(pytree_node=False, default="CKKS_PACKED")
     # integer scaling factor (BGV/BFV bookkeeping; reference scalingFactorInt)
     scale_int: int = struct.field(pytree_node=False, default=1)
+    # metadata map (reference ciphertext.h m_metadataMap /
+    # GetMetadataByKey / SetMetadataByKey): immutable key->value pairs so
+    # the struct stays hashable for trace caching; values are arbitrary
+    # host-side objects carried through clones untouched.
+    metadata: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num_towers(self) -> int:
@@ -40,6 +45,32 @@ class Ciphertext:
 
     def with_elements(self, elements) -> "Ciphertext":
         return self.replace(elements=tuple(elements))
+
+    # -- metadata map (reference CiphertextImpl::*Metadata*) -------------
+    def GetMetadataByKey(self, key: str):
+        for k, v in self.metadata:
+            if k == key:
+                return v
+        raise KeyError(f"no metadata for key '{key}'")
+
+    def FindMetadataByKey(self, key: str) -> bool:
+        return any(k == key for k, _ in self.metadata)
+
+    def SetMetadataByKey(self, key: str, value) -> "Ciphertext":
+        """Returns a new ciphertext with the entry set (functional style)."""
+        kept = tuple((k, v) for k, v in self.metadata if k != key)
+        return self.replace(metadata=kept + ((key, value),))
+
+    def GetMetadataMap(self) -> dict:
+        return dict(self.metadata)
+
+    def Clone(self) -> "Ciphertext":
+        return self.replace()
+
+    def CloneZero(self) -> "Ciphertext":
+        """Clone metadata but not the payload (reference CloneZero)."""
+        return self.replace(elements=tuple(jnp.zeros_like(e)
+                                           for e in self.elements))
 
 
 @struct.dataclass

@@ -118,7 +118,9 @@ class CryptoContext:
         else:
             moduli = prm.select_ckks_moduli(
                 p.ring_dim, p.mult_depth, p.scaling_mod_size,
-                p.first_mod_size, flexible=self._flexible())
+                p.first_mod_size, flexible=self._flexible(),
+                ext_mod_size=(prm.DEFAULT_EXTRA_MOD_SIZE
+                              if self._flexible_ext() else 0))
         self._init_common(moduli)
         self.delta = float(2 ** p.scaling_mod_size)
         self.slots = p.batch_size or p.ring_dim // 2
@@ -132,7 +134,18 @@ class CryptoContext:
         d = self.comp_deg
         n_levels = (k - d) // d + 1 if d > 1 else k
         if self._flexible() or self._composite():
-            scf = [float(self.drop_factor(0))]
+            if self._flexible_ext():
+                # FLEXIBLEAUTOEXT: the ext modulus q_ext tops the chain.
+                # Fresh ciphertexts live at level 0 with noise degree 2 and
+                # the big scale q_ext * q_top (reference
+                # GetScalingFactorRealBig); defining
+                # scf[0] = sqrt(q_ext * q_top) keeps every canonical-scale
+                # recurrence scf[l+1] = scf[l]^2 / drop(l) intact with no
+                # special cases downstream.
+                scf = [math.sqrt(float(self.moduli_q[-1])
+                                 * float(self.moduli_q[-2]))]
+            else:
+                scf = [float(self.drop_factor(0))]
             for lvl in range(1, n_levels):
                 scf.append(scf[-1] * scf[-1] / float(
                     self.drop_factor(lvl - 1)))
@@ -295,6 +308,13 @@ class CryptoContext:
                                 level: int = 0, slots: int | None = None,
                                 scale: float | None = None) -> Plaintext:
         slots = slots or min(self.slots, self.ring_dim // 2)
+        if (scale is None and level == 0 and scale_deg == 1
+                and self.scheme == Scheme.CKKSRNS_SCHEME
+                and self._flexible_ext()):
+            # FLEXIBLEAUTOEXT fresh encodings use the big degree-2 scale
+            # q_ext * q_top at level 0 (reference MakePlaintext /
+            # GetScalingFactorRealBig); the first rescale drops q_ext.
+            scale_deg = 2
         if scale is None:
             scale = self.scale_at(level) ** scale_deg
         size = self.size_ql(level)
@@ -429,6 +449,10 @@ class CryptoContext:
             ScalingTechnique.FLEXIBLEAUTO, ScalingTechnique.FLEXIBLEAUTOEXT,
             ScalingTechnique.COMPOSITESCALINGAUTO,
             ScalingTechnique.COMPOSITESCALINGMANUAL)
+
+    def _flexible_ext(self) -> bool:
+        return (self.params.scaling_technique
+                == ScalingTechnique.FLEXIBLEAUTOEXT)
 
     def scale_at(self, level: int) -> float:
         """Canonical scaling factor for a depth-1 ciphertext at `level`."""
@@ -998,6 +1022,13 @@ class CryptoContext:
     # CKKS bootstrapping (reference: cryptocontext.h:3513-3548)
     # ------------------------------------------------------------------
 
+    def GetBootstrapDepth(self, level_budget=(1, 1)) -> int:
+        """(reference FHECKKSRNS::GetBootstrapDepth)"""
+        from openfhe_tpu.pke.fhe import ckks_bootstrap as bt
+        return bt.get_bootstrap_depth(level_budget,
+                                      self.params.secret_key_dist,
+                                      self.ring_dim)
+
     def EvalBootstrapSetup(self, level_budget=(1, 1), dim1=(0, 0),
                            slots: int = 0, correction_factor: int = 0):
         from openfhe_tpu.pke.fhe import ckks_bootstrap as bt
@@ -1011,6 +1042,14 @@ class CryptoContext:
     def EvalBootstrap(self, ct, num_iterations: int = 1, precision: int = 0):
         from openfhe_tpu.pke.fhe import ckks_bootstrap as bt
         return bt.eval_bootstrap(self, ct, num_iterations, precision)
+
+    def EvalBootstrapStCFirst(self, ct, num_iterations: int = 1,
+                              precision: int = 0):
+        """Slots-encoding bootstrap: SlotsToCoeffs first, output stays in
+        slot form (reference EvalBootstrapStCFirst, ckksrns-fhe.cpp:839)."""
+        from openfhe_tpu.pke.fhe import ckks_bootstrap as bt
+        return bt.eval_bootstrap_stc_first(self, ct, num_iterations,
+                                           precision)
 
     # ------------------------------------------------------------------
     # vectorized functional bootstrapping (reference: cryptocontext.h:3568

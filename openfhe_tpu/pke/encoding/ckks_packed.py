@@ -68,8 +68,12 @@ def encode_to_coeffs(values, n: int, slots: int, scale: float) -> np.ndarray:
     b = np.fft.fft(spec) / n
     a = b * np.conj(_twist(n))
     coeffs = np.real(a) * scale
-    # round exactly; values may exceed float64 int range only for huge scales
-    return np.round(coeffs).astype(np.int64)
+    if np.abs(coeffs).max() < float(1 << 62):
+        return np.round(coeffs).astype(np.int64)
+    # composite degree-2 scales (~2^100) exceed int64: round through Python
+    # ints (exact for the float64 value; relative error 2^-53 stays below
+    # the composite noise floor)
+    return np.array([int(round(v)) for v in coeffs], dtype=object)
 
 
 def decode_from_coeffs(coeffs, n: int, slots: int, scale: float) -> np.ndarray:

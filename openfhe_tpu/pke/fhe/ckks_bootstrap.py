@@ -133,6 +133,24 @@ def _bsgs_diagonals(mat_rows: np.ndarray, n_diags: int, bstep: int,
     return diags
 
 
+def get_bootstrap_depth(level_budget=(1, 1), secret_key_dist=None,
+                        n: int = 1 << 16) -> int:
+    """Multiplicative depth the bootstrap pipeline consumes (reference
+    FHECKKSRNS::GetBootstrapDepth, ckksrns-fhe.cpp:2199) — size mult_depth
+    as usable_depth + this.
+
+    Counted from our pipeline: correction adjust (1) + post-raise
+    normalization (1) + lEnc + conjugate reduce (1) + Chebyshev
+    Paterson-Stockmeyer depth + double-angle iterations + lDec.
+    """
+    k = _adaptive_k(n, secret_key_dist)
+    r_iters = 6 if k > 64 else 4
+    deg = len(_mod_func_coefficients(k, r_iters)) - 1
+    cheb_depth = int(math.ceil(math.log2(max(2, deg)))) + 2
+    return 2 + int(level_budget[0]) + 1 + cheb_depth + r_iters \
+        + int(level_budget[1])
+
+
 def eval_bootstrap_setup(cc, level_budget=(1, 1), dim1=(0, 0), slots: int = 0,
                          correction_factor: int = 0) -> None:
     """(reference EvalBootstrapSetup, ckksrns-fhe.cpp:85)
@@ -179,12 +197,12 @@ def eval_bootstrap_setup(cc, level_budget=(1, 1), dim1=(0, 0), slots: int = 0,
     if not cc._flexible():
         raise ValueError("CKKS bootstrapping requires FLEXIBLEAUTO scaling "
                          "(28-bit moduli make FIXED-mode drift fatal)")
-    if getattr(cc, "comp_deg", 1) > 1:
-        raise NotImplementedError("bootstrapping under composite scaling "
-                                  "is planned (single-word chains work)")
-    k_chain = len(cc.moduli_q)
-    q0 = cc.moduli_q[0]
-    sigma1 = cc.scf_real[k_chain - 1]
+    d = getattr(cc, "comp_deg", 1)
+    n_levels = len(cc.scf_real)
+    q0 = 1
+    for q in cc.moduli_q[:d]:
+        q0 *= q                       # composite: q0 = first level's product
+    sigma1 = cc.scf_real[n_levels - 1]
     correction = correction_factor
     boost1 = max(1, int(round(float(q0) / sigma1)))
     boost2 = 1 << correction
@@ -274,28 +292,44 @@ def eval_bootstrap_keygen(cc, sk, slots: int = 0) -> None:
 # ---------------------------------------------------------------------------
 
 def mod_raise(cc, ct: Ciphertext) -> Ciphertext:
-    """Raise a 1-tower ciphertext to the full modulus chain.
+    """Raise a last-level ciphertext to the full modulus chain.
 
     Residues mod q0 are centered-lifted to integers in (-q0/2, q0/2] and
     re-reduced modulo every q_i (reference: the COEFFICIENT-format re-parent
-    loop in EvalBootstrap, ckksrns-fhe.cpp:592-600). Elementwise, jittable.
+    loop in EvalBootstrap, ckksrns-fhe.cpp:592-600). Single-word chains run
+    fully on device (elementwise, jittable); composite chains (q0 = product
+    of comp_deg towers, reference ExtendCiphertext ckksrns-fhe.cpp:2290)
+    lift through the exact host CRT kernel.
     """
+    d = getattr(cc, "comp_deg", 1)
     size = cc.size_ql(ct.level)
-    basis1 = cc.basis_at(ct.level).slice(0, 1)
+    if size != d:
+        ct = cc.LevelReduce(ct, (size - d) // d)
     full = cc.basis_q
-    q0 = cc.moduli_q[0]
-    half = np.uint32(q0 >> 1)
-    q0_mod_qi = jnp.asarray(
-        np.array([[q0 % q] for q in cc.moduli_q], np.uint32))
 
-    def raise_one(elem):
-        u = ntt_inv(elem[..., :1, :], basis1)            # [1, N] in [0, q0)
-        r = mo.barrett_u32(u, full.q, full.m32)          # u mod q_i
-        r = jnp.where(u > half, mo.sub_mod(r, q0_mod_qi, full.q), r)
-        return ntt_fwd(r, full)
+    if d == 1:
+        basis1 = cc.basis_at(ct.level).slice(0, 1)
+        q0 = cc.moduli_q[0]
+        half = np.uint32(q0 >> 1)
+        q0_mod_qi = jnp.asarray(
+            np.array([[q0 % q] for q in cc.moduli_q], np.uint32))
 
-    if size != 1:
-        ct = cc.LevelReduce(ct, size - 1)
+        def raise_one(elem):
+            u = ntt_inv(elem[..., :1, :], basis1)        # [1, N] in [0, q0)
+            r = mo.barrett_u32(u, full.q, full.m32)      # u mod q_i
+            r = jnp.where(u > half, mo.sub_mod(r, q0_mod_qi, full.q), r)
+            return ntt_fwd(r, full)
+    else:
+        basis_d = cc.basis_q.slice(0, d)
+        group = tuple(cc.moduli_q[:d])
+        all_mods = tuple(cc.moduli_q)
+
+        def raise_one(elem):
+            u = np.asarray(ntt_inv(elem[..., :d, :], basis_d))
+            centered = crt.interpolate_centered(u, group)
+            res = crt.to_residues_host(centered, all_mods)
+            return ntt_fwd(jnp.asarray(res), full)
+
     return ct.replace(elements=tuple(raise_one(c) for c in ct.elements),
                       level=0)
 
@@ -398,17 +432,17 @@ def eval_bootstrap(cc, ct: Ciphertext, num_iterations: int = 1,
     p = precom[ct.slots]
     n = cc.ring_dim
     slots = p.slots
-    k_chain = len(cc.moduli_q)
+    n_levels = len(cc.scf_real)
 
     # ---- adjust: scale the message down by 2^correction for sine accuracy
-    # and land canonically on the 1-tower level (reference AdjustCiphertext,
+    # and land canonically on the last level (reference AdjustCiphertext,
     # ckksrns-fhe.cpp:2228) ----
     if ct.noise_deg > 1:
         ct = cc.ModReduce(ct)
-    if cc.size_ql(ct.level) < 2:
-        raise ValueError("bootstrap input needs >= 2 towers for the "
+    if cc.size_ql(ct.level) < 2 * getattr(cc, "comp_deg", 1):
+        raise ValueError("bootstrap input needs >= 2 levels for the "
                          "correction scale-down")
-    l_pen = k_chain - 2                         # 2-tower level
+    l_pen = n_levels - 2                        # penultimate level
     pt_scale = cc.scf_real[l_pen] ** 2 / ct.scale
     ct = cc._scalar_mult_raw(ct, math.pow(2.0, -p.correction), pt_scale)
     if ct.level < l_pen:
@@ -490,6 +524,120 @@ def eval_bootstrap(cc, ct: Ciphertext, num_iterations: int = 1,
     if p.boost2 > 1:
         ctxt_dec = mult_by_integer(cc, ctxt_dec, p.boost2)
     return ctxt_dec.replace(slots=ct.slots)
+
+
+def eval_bootstrap_stc_first(cc, ct: Ciphertext, num_iterations: int = 1,
+                             precision: int = 0) -> Ciphertext:
+    """(reference EvalBootstrapStCFirst, ckksrns-fhe.cpp:839)
+
+    Slots-encoding bootstrap: the pipeline is the standard one reordered —
+    SlotsToCoeffs runs FIRST at the depleted (cheap, low-tower) end, moving
+    slot data into polynomial coefficients; then ModRaise -> CoeffsToSlots
+    -> EvalMod return the refreshed data in SLOT form with no trailing
+    transform.  All folded constants (dec_scale, 1/K, runtime scalar,
+    boosts) are the standard ones — they commute along the chain, with
+    boost2 moved to the very end so the pre-sine residual stays small.
+    """
+    precom = getattr(cc, "_boot_precom", {})
+    if ct.slots not in precom:
+        raise ValueError(f"no bootstrap precomputation for {ct.slots} slots")
+    p = precom[ct.slots]
+    n = cc.ring_dim
+    slots = p.slots
+    n_levels = len(cc.scf_real)
+
+    if num_iterations == 2:
+        pow2 = 1 << (precision or 3)
+        ct1 = eval_bootstrap_stc_first(cc, ct, 1)
+        if ct1.noise_deg > 1:
+            ct1 = cc.ModReduce(ct1)
+        if ct.level <= ct1.level:
+            return ct1
+        ct1_down = cc.LevelReduce(ct1, ct.level - ct1.level)
+        e_up = cc.EvalSub(
+            mult_by_integer(cc, ct1_down, pow2).replace(scale=ct.scale),
+            mult_by_integer(cc, ct, pow2))
+        err_boot = eval_bootstrap_stc_first(cc, e_up, 1)
+        if err_boot.noise_deg > 1:
+            err_boot = cc.ModReduce(err_boot)
+        return cc.EvalSub(ct1, err_boot.replace(
+            scale=err_boot.scale * pow2))
+
+    # ---- deplete to the S2C start level ----
+    if ct.noise_deg > 1:
+        ct = cc.ModReduce(ct)
+    l_dec = len(p.s2c_stages) if p.s2c_stages is not None else 1
+    need = l_dec + 2                        # S2C levels + adjust + floor
+    if cc.size_ql(ct.level) < need:
+        raise ValueError("StC-first bootstrap input needs at least "
+                         f"{need} towers")
+    target_lvl = n_levels - need
+    if ct.level < target_lvl:
+        ct = cc.LevelReduce(ct, target_lvl - ct.level)
+
+    # ---- SlotsToCoeffs FIRST ----
+    if p.s2c_stages is not None:
+        ctxt_dec = fftt.eval_fft_stages(cc, ct, p.s2c_stages, p.pt_slots)
+    else:
+        ctxt_dec = eval_linear_transform(cc, ct, p.s2c_diags, p.bstep_dec,
+                                         p.pt_slots)
+    ctxt_dec = cc.ModReduce(ctxt_dec)
+    if p.sparse:
+        ctxt_dec = cc.EvalAdd(ctxt_dec, cc.EvalRotate(ctxt_dec, slots))
+
+    # ---- adjust (2^-correction) and land canonically on 1 tower ----
+    l_pen = n_levels - 2
+    pt_scale = cc.scf_real[l_pen] ** 2 / ctxt_dec.scale
+    ctxt_dec = cc._scalar_mult_raw(ctxt_dec, math.pow(2.0, -p.correction),
+                                   pt_scale)
+    ctxt_dec = cc.ModReduce(ctxt_dec)
+
+    # ---- ModRaise + normalization (identical to the standard pipeline) --
+    raised = mod_raise(cc, ctxt_dec)
+    raised = cc._scalar_mult_raw(raised, p.runtime_scalar,
+                                 cc.scf_real[0] ** 2 / raised.scale)
+    if p.sparse:
+        j = slots
+        while j < n // 2:
+            raised = cc.EvalAdd(raised, cc.EvalRotate(raised, j))
+            j <<= 1
+    raised = cc.ModReduce(raised)
+
+    # ---- CoeffsToSlots ----
+    if p.c2s_stages is not None:
+        ctxt_enc = fftt.eval_fft_stages(cc, raised, p.c2s_stages, p.pt_slots)
+    else:
+        ctxt_enc = eval_linear_transform(cc, raised, p.c2s_diags,
+                                         p.bstep_enc, p.pt_slots)
+    conj = cc.EvalConjugate(ctxt_enc)
+    if p.sparse:
+        ctxt_enc = cc.ModReduce(cc.EvalAdd(ctxt_enc, conj))
+        parts = [ctxt_enc]
+    else:
+        ctxt_enc_i = cc.EvalSub(ctxt_enc, conj)
+        ctxt_enc = cc.EvalAdd(ctxt_enc, conj)
+        ctxt_enc_i = mult_by_monomial(cc, ctxt_enc_i, 3 * slots)
+        parts = [cc.ModReduce(ctxt_enc), cc.ModReduce(ctxt_enc_i)]
+
+    # ---- EvalMod ----
+    out_parts = []
+    for part in parts:
+        y = cc.EvalChebyshevSeries(part, p.cheb_coeffs, -1.0, 1.0)
+        if y.noise_deg > 1:
+            y = cc.ModReduce(y)
+        out_parts.append(apply_double_angle(cc, y, p.r_iters))
+    if p.sparse:
+        ctxt_mod = out_parts[0]
+    else:
+        ctxt_mod = cc.EvalAdd(out_parts[0],
+                              mult_by_monomial(cc, out_parts[1], slots))
+
+    # ---- boosts (no trailing S2C: output is already in slot form) ----
+    if p.boost1 > 1:
+        ctxt_mod = mult_by_integer(cc, ctxt_mod, p.boost1)
+    if p.boost2 > 1:
+        ctxt_mod = mult_by_integer(cc, ctxt_mod, p.boost2)
+    return ctxt_mod.replace(slots=ct.slots)
 
 
 def _eval_bootstrap_two_rounds(cc, ct: Ciphertext, precision: int

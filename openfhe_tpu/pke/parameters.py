@@ -139,9 +139,15 @@ def _nearest_prime(target: float, order: int, used: set) -> int:
     return lo if (t - lo) <= (hi - t) else hi
 
 
+# FLEXIBLEAUTOEXT extra top modulus (reference rns-modulus-limits.h:42);
+# fresh ciphertexts carry an extra ~2^19 factor of noise headroom that the
+# first rescale removes.
+DEFAULT_EXTRA_MOD_SIZE = 20
+
+
 def select_ckks_moduli(n: int, mult_depth: int, scaling_mod_size: int,
                        first_mod_size: int, forbidden=(),
-                       flexible: bool = True) -> list:
+                       flexible: bool = True, ext_mod_size: int = 0) -> list:
     """CKKS modulus chain: q0 (first_mod_size bits) + mult_depth scaling
     primes (reference: ckksrns-parametergeneration.cpp).
 
@@ -172,7 +178,15 @@ def select_ckks_moduli(n: int, mult_depth: int, scaling_mod_size: int,
             used.add(q)
             drops.append(q)
             scf = float(q) if i == 0 else scf * scf / q
-        return [q0] + drops[::-1]
+        chain = [q0] + drops[::-1]
+        if ext_mod_size:
+            # FLEXIBLEAUTOEXT: one extra top prime, dropped at level 0
+            # (reference ckksrns-parametergeneration.cpp:518)
+            q_ext = nbtheory.first_prime(ext_mod_size - 1, order)
+            while q_ext in used:
+                q_ext = nbtheory.next_prime(q_ext, order)
+            chain.append(q_ext)
+        return chain
     chain = [q0]
     up = int(target) + 1
     down = int(target) + 1

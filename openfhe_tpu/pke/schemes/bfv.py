@@ -64,6 +64,15 @@ def init_context(cc) -> None:
     _precompute_mult_tables(cc)
 
 
+def _aux_size(cc, size_q: int) -> int:
+    t = cc.plaintext_modulus
+    n = cc.ring_dim
+    log_ql = sum(math.log2(q) for q in cc.moduli_q[:size_q])
+    log_r = (math.log2(t) + math.log2(n) + log_ql
+             + 2 * math.log2(size_q + 2) + 4)
+    return math.ceil(log_r / 30)
+
+
 def _precompute_mult_tables(cc) -> None:
     t = cc.plaintext_modulus
     n = cc.ring_dim
@@ -73,43 +82,82 @@ def _precompute_mult_tables(cc) -> None:
         big_q *= q
     cc.big_q = big_q
     k_q = len(q_mods)
-    log_r = (math.log2(t) + math.log2(n) + math.log2(big_q)
-             + 2 * math.log2(k_q + 2) + 4)
-    k_r = math.ceil(log_r / 30)
+    k_r = _aux_size(cc, k_q)
     aux = prm._distinct_prime_chain(2 * n, [30] * (k_r + 1),
                                     forbidden=tuple(q_mods) + tuple(cc.moduli_p))
-    r_mods, m_sk = aux[:k_r], aux[k_r]
-    cc.bfv_r_mods = r_mods
-    cc.bfv_m_sk = m_sk
-    rsk_mods = r_mods + [m_sk]
-    cc.basis_rsk = make_basis(rsk_mods, n)
-    cc.basis_r = cc.basis_rsk.slice(0, k_r)
-    cc.basis_sk = cc.basis_rsk.slice(k_r, k_r + 1)
-    big_r = 1
-    for r in r_mods:
-        big_r *= r
-    cc.bfv_big_r = big_r
-    shift_s = big_r >> 1
-    # conversion tables
-    cc.st_q_to_rsk = rt.make_switch_tables(q_mods, rsk_mods)
-    cc.st_r_to_qsk = rt.make_switch_tables(r_mods, list(q_mods) + [m_sk])
-    cc.basis_qsk = cc.basis_q.concat(cc.basis_sk)
-    # constants
-    half_q = big_q >> 1
-    cc.c_t_q = rt._shoup_pair([t % q for q in q_mods], q_mods)
-    cc.c_t_rsk = rt._shoup_pair([t % r for r in rsk_mods], rsk_mods)
-    cc.c_halfq_q = rt._shoup_pair([half_q % q for q in q_mods], q_mods)
-    # aux side gets v + Q*S: add [t*X*0 + Q/2 + Q*S]_r pieces separately
-    cc.c_halfq_plus_qs_rsk = rt._shoup_pair(
-        [(half_q + big_q * shift_s) % r for r in rsk_mods], rsk_mods)
-    cc.c_qinv_rsk = rt._shoup_pair(
-        [pow(big_q % r, -1, r) for r in rsk_mods], rsk_mods)
-    cc.c_rinv_sk = rt._shoup_pair([pow(big_r % m_sk, -1, m_sk)], [m_sk])
-    cc.c_r_q = rt._shoup_pair([big_r % q for q in q_mods], q_mods)
-    cc.c_s_q = rt._shoup_pair([shift_s % q for q in q_mods], q_mods)
+    cc.bfv_aux_pool, cc.bfv_m_sk = aux[:k_r], aux[k_r]
+    cc._bfv_mt = {}
+    mt = _size_tables(cc, k_q)
+    # legacy attribute aliases (full-size tables)
+    cc.bfv_r_mods = cc.bfv_aux_pool
+    cc.basis_rsk = mt["basis_rsk"]
+    cc.basis_r = mt["basis_r"]
+    cc.basis_sk = mt["basis_sk"]
+    cc.basis_qsk = mt["basis_qsk"]
+    cc.bfv_big_r = mt["big_r"]
+    cc.st_q_to_rsk = mt["st_q_to_rsk"]
+    cc.st_r_to_qsk = mt["st_r_to_qsk"]
     # encryption scaling Delta = floor(Q/t)
     delta = big_q // t
     cc.c_delta_q = rt._shoup_pair([delta % q for q in q_mods], q_mods)
+
+
+def _size_tables(cc, size_q: int) -> dict:
+    """Multiplication tables for a (possibly reduced) Q_l basis
+    (reference GetParamsQl/GetParamsRl leveled precomputations,
+    bfvrns-cryptoparameters.cpp).  Cached per tower count: the
+    HPSPOVERQLEVELED technique tensors in the smallest basis the noise
+    allows."""
+    if size_q in cc._bfv_mt:
+        return cc._bfv_mt[size_q]
+    t = cc.plaintext_modulus
+    n = cc.ring_dim
+    q_mods = list(cc.moduli_q[:size_q])
+    big_q = 1
+    for q in q_mods:
+        big_q *= q
+    k_r = min(_aux_size(cc, size_q), len(cc.bfv_aux_pool))
+    r_mods = list(cc.bfv_aux_pool[:k_r])
+    m_sk = cc.bfv_m_sk
+    rsk_mods = r_mods + [m_sk]
+    basis_q = cc.basis_q.slice(0, size_q)
+    basis_rsk = make_basis(rsk_mods, n)
+    big_r = 1
+    for r in r_mods:
+        big_r *= r
+    shift_s = big_r >> 1
+    half_q = big_q >> 1
+    mt = {
+        "basis_q": basis_q,
+        "basis_rsk": basis_rsk,
+        "basis_r": basis_rsk.slice(0, k_r),
+        "basis_sk": basis_rsk.slice(k_r, k_r + 1),
+        "basis_qsk": basis_q.concat(basis_rsk.slice(k_r, k_r + 1)),
+        "big_r": big_r,
+        "st_q_to_rsk": rt.make_switch_tables(q_mods, rsk_mods),
+        "st_r_to_qsk": rt.make_switch_tables(r_mods, q_mods + [m_sk]),
+        "c_t_q": rt._shoup_pair([t % q for q in q_mods], q_mods),
+        "c_t_rsk": rt._shoup_pair([t % r for r in rsk_mods], rsk_mods),
+        "c_halfq_q": rt._shoup_pair([half_q % q for q in q_mods], q_mods),
+        # aux side gets v + Q*S (S makes the quotient nonnegative)
+        "c_halfq_plus_qs_rsk": rt._shoup_pair(
+            [(half_q + big_q * shift_s) % r for r in rsk_mods], rsk_mods),
+        "c_qinv_rsk": rt._shoup_pair(
+            [pow(big_q % r, -1, r) for r in rsk_mods], rsk_mods),
+        "c_rinv_sk": rt._shoup_pair([pow(big_r % m_sk, -1, m_sk)], [m_sk]),
+        "c_r_q": rt._shoup_pair([big_r % q for q in q_mods], q_mods),
+        "c_s_q": rt._shoup_pair([shift_s % q for q in q_mods], q_mods),
+    }
+    if size_q < len(cc.moduli_q):
+        # expansion back to the full basis: multiply by QlHat = Q/Ql
+        # (reference ExpandCRTBasisQlHat — dropped towers become zero)
+        ql_hat = 1
+        for q in cc.moduli_q[size_q:]:
+            ql_hat *= q
+        mt["c_qlhat_q"] = rt._shoup_pair(
+            [ql_hat % q for q in q_mods], q_mods)
+    cc._bfv_mt[size_q] = mt
+    return mt
 
 
 def make_packed_plaintext(cc, values, level: int = 0,
@@ -166,11 +214,13 @@ def _bfv_scale_round(x_q, x_rsk, cc_tables):
     return mo.sub_mod(y_q, s_q, basis_q.q)
 
 
-def _mult_tables(cc):
-    return (cc.basis_q, cc.basis_rsk, cc.basis_r, cc.basis_sk, cc.basis_qsk,
-            cc.st_q_to_rsk, cc.st_r_to_qsk, cc.c_t_q, cc.c_t_rsk,
-            cc.c_halfq_q, cc.c_halfq_plus_qs_rsk, cc.c_qinv_rsk,
-            cc.c_rinv_sk, cc.c_r_q, cc.c_s_q)
+def _mult_tables(cc, size_q: int | None = None):
+    mt = _size_tables(cc, size_q or len(cc.moduli_q))
+    return (mt["basis_q"], mt["basis_rsk"], mt["basis_r"], mt["basis_sk"],
+            mt["basis_qsk"], mt["st_q_to_rsk"], mt["st_r_to_qsk"],
+            mt["c_t_q"], mt["c_t_rsk"], mt["c_halfq_q"],
+            mt["c_halfq_plus_qs_rsk"], mt["c_qinv_rsk"], mt["c_rinv_sk"],
+            mt["c_r_q"], mt["c_s_q"])
 
 
 @jax.jit
@@ -205,9 +255,98 @@ def _bfv_tensor(a_elems, b_elems, cc_tables):
     return tuple(out)
 
 
+def _find_levels_to_drop(cc, mult_depth_done: int,
+                         key_switch: bool = False) -> int:
+    """(reference FindLevelsToDrop, bfvrns-leveledshe.cpp:96) noise-driven
+    tower-drop count for HPSPOVERQLEVELED; HYBRID keyswitch model."""
+    p_t = float(cc.plaintext_modulus)
+    n = cc.ring_dim
+    dcrt_bits = cc.moduli_q[0].bit_length()
+    sigma = 3.19
+    alpha_assurance = 36.0
+    b_err = sigma * math.sqrt(alpha_assurance)
+    b_key = 1.0                                   # ternary secret
+    num_part_q = cc.params.num_large_digits
+    k_per_part = math.ceil(len(cc.moduli_q) / num_part_q)
+
+    delta = 2.0 * math.sqrt(n)
+    delta_ms = 4.0 * math.sqrt(n)
+    v_norm = b_err * (1.0 + 2.0 * delta * b_key)
+
+    def noise_ks():
+        return k_per_part * (num_part_q * delta * b_err
+                             + delta_ms * b_key + 1.0)
+
+    c1 = delta * delta_ms * p_t * b_key
+    c2 = delta * delta_ms * b_key * b_key / 2.0 + noise_ks()
+
+    def logq_bfv():
+        if mult_depth_done > 0:
+            return (math.log2(4 * p_t)
+                    + (mult_depth_done - 1) * math.log2(c1)
+                    + math.log2(c1 * v_norm + mult_depth_done * c2))
+        return math.log2(p_t * 4.0 * v_norm)
+
+    logq = logq_bfv()
+    loge = logq - 2 - math.log2(p_t)
+    log_extra = math.log2(noise_ks()) if key_switch else math.log2(delta_ms)
+    levels = math.floor(
+        (loge - 3 * mult_depth_done - 16 - log_extra) / dcrt_bits)
+    return max(0, min(levels, len(cc.moduli_q) - 1))
+
+
+def _scale_to_ql(cc, poly_eval: jnp.ndarray, size_l: int) -> jnp.ndarray:
+    """round(Ql/Q * c): iterated exact tower drops (reference ScaleAndRound
+    to GetParamsQl; we divide one prime at a time with the shared CKKS
+    rescale kernel — integer-exact per step)."""
+    from openfhe_tpu.lattice.dcrt import EVAL, Poly
+    size = poly_eval.shape[-2]
+    out = poly_eval
+    while size > size_l:
+        basis = cc.basis_q.slice(0, size)
+        tab = cc.rescale_tables(size)
+        out = rt.drop_last_and_scale(Poly(out, EVAL), basis, tab).data
+        size -= 1
+    return out
+
+
+def _expand_ql_to_q(cc, poly_eval: jnp.ndarray, size_l: int) -> jnp.ndarray:
+    """c -> c * QlHat over the full basis (reference ExpandCRTBasisQlHat):
+    kept towers scale by QlHat mod q_i, dropped towers are zero."""
+    mt = _size_tables(cc, size_l)
+    c, c_sh = mt["c_qlhat_q"]
+    basis_ql = cc.basis_q.slice(0, size_l)
+    scaled = mo.mul_mod_shoup(poly_eval, c, c_sh, basis_ql.q)
+    pad = [(0, 0)] * (scaled.ndim - 2) + \
+        [(0, len(cc.moduli_q) - size_l), (0, 0)]
+    return jnp.pad(scaled, pad)
+
+
 def eval_mult_no_relin(cc, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-    elems = _bfv_tensor(a.elements[:2], b.elements[:2], _mult_tables(cc))
-    return a.replace(elements=elems, noise_deg=1)
+    """Technique dispatch (reference EvalMultCore, bfvrns-leveledshe.cpp:199).
+
+    BEHZ/HPS/HPSPOVERQ share our one integer-exact TPU path (module
+    docstring); HPSPOVERQLEVELED additionally drops towers the accumulated
+    noise has already consumed before tensoring — the tensor and base
+    conversions then run on the smaller basis (the reference's main BFV
+    speedup) — and expands the result back to Q afterwards."""
+    from openfhe_tpu.pke.constants import MultiplicationTechnique as MT
+    tech = cc.params.multiplication_technique
+    k_q = len(cc.moduli_q)
+    size_l = k_q
+    a_el, b_el = a.elements[:2], b.elements[:2]
+    if tech == MT.HPSPOVERQLEVELED:
+        done = max(a.noise_deg, b.noise_deg) - 1
+        drop = _find_levels_to_drop(cc, done)
+        size_l = max(2, k_q - drop)
+        if size_l < k_q:
+            a_el = tuple(_scale_to_ql(cc, e, size_l) for e in a_el)
+            b_el = tuple(_scale_to_ql(cc, e, size_l) for e in b_el)
+    elems = _bfv_tensor(a_el, b_el, _mult_tables(cc, size_l))
+    if size_l < k_q:
+        elems = tuple(_expand_ql_to_q(cc, e, size_l) for e in elems)
+    return a.replace(elements=elems,
+                     noise_deg=max(a.noise_deg, b.noise_deg) + 1)
 
 
 def decrypt_tail(cc, coeff_residues, ct: Ciphertext) -> Plaintext:

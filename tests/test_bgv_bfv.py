@@ -94,3 +94,60 @@ def test_rotation_exact(ctx_keys):
     cx = cc.Encrypt(kp.public_key, cc.MakePackedPlaintext(x))
     r = cc.Decrypt(kp.secret_key, cc.EvalRotate(cx, 1))
     assert r.values[:half].tolist() == np.roll(x, -1).tolist()
+
+
+def test_bfv_hpspoverqleveled_exact():
+    """HPSPOVERQLEVELED (reference bfvrns-leveledshe.cpp:263): drop towers
+    the accumulated noise consumed before tensoring; results stay exact."""
+    from openfhe_tpu.pke.constants import MultiplicationTechnique
+    p = CCParams(scheme=Scheme.BFVRNS_SCHEME, ring_dim=64,
+                 plaintext_modulus=257, mult_depth=3,
+                 scaling_mod_size=28,
+                 security_level=SecurityLevel.HEStd_NotSet,
+                 multiplication_technique=(
+                     MultiplicationTechnique.HPSPOVERQLEVELED))
+    cc = GenCryptoContext(p, seed=5)
+    for f in (PKESchemeFeature.PKE, PKESchemeFeature.KEYSWITCH,
+              PKESchemeFeature.LEVELEDSHE):
+        cc.Enable(f)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 257, 64)
+    y = rng.integers(0, 257, 64)
+    ctx = cc.Encrypt(kp.public_key, cc.MakePackedPlaintext(x))
+    cty = cc.Encrypt(kp.public_key, cc.MakePackedPlaintext(y))
+    ct = cc.EvalMult(ctx, cty)
+    expect = x * y % 257
+    for _ in range(2):
+        ct = cc.EvalMult(ct, cty)
+        expect = expect * y % 257
+    assert ct.noise_deg == 4   # three multiplications tracked
+    dec = cc.Decrypt(kp.secret_key, ct)
+    assert np.array_equal(np.mod(dec.values[:64], 257), expect)
+
+
+def test_bfv_technique_variants_agree():
+    """BEHZ/HPS/HPSPOVERQ dispatch to the shared exact path and all
+    decrypt to the same product."""
+    from openfhe_tpu.pke.constants import MultiplicationTechnique as MT
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 257, 32)
+    y = rng.integers(0, 257, 32)
+    for tech in (MT.BEHZ, MT.HPS, MT.HPSPOVERQ):
+        p = CCParams(scheme=Scheme.BFVRNS_SCHEME, ring_dim=64,
+                     plaintext_modulus=257, mult_depth=2,
+                     scaling_mod_size=28,
+                     security_level=SecurityLevel.HEStd_NotSet,
+                     multiplication_technique=tech)
+        cc = GenCryptoContext(p, seed=6)
+        for f in (PKESchemeFeature.PKE, PKESchemeFeature.KEYSWITCH,
+                  PKESchemeFeature.LEVELEDSHE):
+            cc.Enable(f)
+        kp = cc.KeyGen()
+        cc.EvalMultKeyGen(kp.secret_key)
+        ct = cc.EvalMult(cc.Encrypt(kp.public_key, cc.MakePackedPlaintext(x)),
+                         cc.Encrypt(kp.public_key, cc.MakePackedPlaintext(y)))
+        dec = cc.Decrypt(kp.secret_key, ct)
+        assert np.array_equal(np.mod(dec.values[:32], 257),
+                              x * y % 257), tech

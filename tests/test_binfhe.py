@@ -134,3 +134,30 @@ def test_lmkcdey_accumulator():
     ct2 = cc.Encrypt(sk, m2)
     got = cc.Decrypt(sk, cc.EvalBinGate(BINGATE.AND, ct1, ct2))
     assert np.array_equal(got, np.asarray(m1) & np.asarray(m2))
+
+
+def test_pubkey_encrypt_roundtrip():
+    """Public-key LWE encryption (reference lwe-pke.cpp PubKeyGen/EncryptN +
+    binfhecontext.cpp:235): encrypt at (N, Q), switch to (n, q), decrypt
+    with the small secret, and run a gate."""
+    cc = BinFHEContext()
+    cc.GenerateBinFHEContext("TOY", method="GINX")
+    sk = cc.KeyGen()
+    pk, sk_n = cc.KeyGenPair()
+    cc.BTKeyGen(sk)
+
+    bits = np.array([0, 1, 1, 0])
+    ct = cc.Encrypt(pk, bits, output="SMALL_DIM")
+    dec = cc.Decrypt(sk, ct)
+    assert np.array_equal(dec, bits)
+
+    # large-dim ciphertext decrypts under skN
+    ct_large = cc.Encrypt(pk, bits, output="LARGE_DIM")
+    from openfhe_tpu.binfhe import lwe as _lwe
+    assert np.array_equal(_lwe.decrypt(sk_n, ct_large), bits)
+
+    # pk-encrypted inputs drive a gate end-to-end
+    a = cc.Encrypt(pk, np.array([0, 0, 1, 1]))
+    b = cc.Encrypt(pk, np.array([0, 1, 0, 1]))
+    out = cc.EvalBinGate(BINGATE.AND, a, b)
+    assert np.array_equal(cc.Decrypt(sk, out), np.array([0, 0, 0, 1]))

@@ -100,3 +100,49 @@ def test_bootstrap_fft_factorized(n, slots, budget):
     assert cc.size_ql(ct2.level) > 2
     dec = cc.Decrypt(kp.secret_key, ct2)
     assert np.abs(dec.values.real - x).max() < 0.12
+
+
+def test_bootstrap_stc_first():
+    """Slots-encoding bootstrap (reference EvalBootstrapStCFirst,
+    ckksrns-fhe.cpp:839): S2C first, output in slot form."""
+    cc = make_boot_ctx(256)
+    cc.EvalBootstrapSetup(slots=8)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    cc.EvalBootstrapKeyGen(kp.secret_key, 8)
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-1, 1, 8)
+    ct = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(x, slots=8))
+    out = cc.EvalBootstrapStCFirst(ct)
+    assert cc.size_ql(out.level) > 2
+    dec = cc.Decrypt(kp.secret_key, out)
+    assert np.abs(dec.values.real - x).max() < 0.12
+    # refreshed ciphertext supports further computation
+    sq = cc.Decrypt(kp.secret_key, cc.EvalMult(out, out))
+    assert np.abs(sq.values.real - x * x).max() < 0.2
+
+
+def test_bootstrap_composite_scaling():
+    """Bootstrap under COMPOSITESCALINGAUTO (reference composite paths in
+    EvalBootstrap + ExtendCiphertext ckksrns-fhe.cpp:2290): ~2^50 scales on
+    32-bit words give bootstrap precision far beyond single-word chains."""
+    p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=256, mult_depth=14,
+                 scaling_mod_size=50, first_mod_size=56, batch_size=8,
+                 security_level=SecurityLevel.HEStd_NotSet,
+                 scaling_technique=ScalingTechnique.COMPOSITESCALINGAUTO)
+    cc = GenCryptoContext(p, seed=4)
+    assert cc.comp_deg == 2
+    for f in (PKESchemeFeature.PKE, PKESchemeFeature.KEYSWITCH,
+              PKESchemeFeature.LEVELEDSHE, PKESchemeFeature.ADVANCEDSHE,
+              PKESchemeFeature.FHE):
+        cc.Enable(f)
+    cc.EvalBootstrapSetup(slots=8)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    cc.EvalBootstrapKeyGen(kp.secret_key, 8)
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, 8)
+    ct = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(x, slots=8))
+    out = cc.EvalBootstrap(ct)
+    dec = cc.Decrypt(kp.secret_key, out)
+    assert np.abs(dec.values.real - x).max() < 1e-5

@@ -100,3 +100,31 @@ def test_rotate(ctx_and_keys):
     rm1 = cc.Decrypt(kp.secret_key, cc.EvalRotate(ct, -1)).values
     assert np.abs(r1 - np.roll(x, -1)).max() < 1e-3, "rot +1 should shift left"
     assert np.abs(rm1 - np.roll(x, 1)).max() < 1e-3
+
+
+def test_flexibleautoext_depth_chain():
+    """FLEXIBLEAUTOEXT (reference ckksrns-parametergeneration.cpp:518):
+    extra ~2^19 top modulus; fresh ciphertexts encode at the big degree-2
+    scale q_ext*q_top and the first rescale drops q_ext.  Precision should
+    match or beat FLEXIBLEAUTO since fresh noise sits below the scale."""
+    cc = make_ctx(depth=4, n=128,
+                  scal=ScalingTechnique.FLEXIBLEAUTOEXT)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    assert cc.moduli_q[-1].bit_length() < 21      # the ext modulus
+    x = np.linspace(-1, 1, 8)
+    y = np.linspace(0.5, -0.5, 8)
+    ctx = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(x, slots=8))
+    cty = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(y, slots=8))
+    assert ctx.noise_deg == 2 and ctx.level == 0
+    ct = ctx
+    expect = x.copy()
+    for _ in range(4):
+        ct = cc.EvalMult(ct, cty)
+        expect = expect * y
+    d = cc.Decrypt(kp.secret_key, ct)
+    assert np.abs(d.values.real - expect).max() < 1e-5
+    # mixed-level adjust path: fresh (lvl 0, deg 2) + consumed operand
+    mixed = cc.EvalAdd(cc.EvalMult(ctx, cty), ctx)
+    dm = cc.Decrypt(kp.secret_key, mixed)
+    assert np.abs(dm.values.real - (x * y + x)).max() < 1e-4

@@ -137,3 +137,52 @@ def test_hermite_orders_run():
     for order in (2, 3):
         coeffs = get_hermite_trig_coefficients(func, 16, order, 1.0)
         assert len(coeffs) >= 1
+
+
+def test_blake2_prng_deterministic():
+    """utils/prng.py (reference Blake2Engine): keyed counter stream is
+    deterministic and seed-sensitive."""
+    from openfhe_tpu.utils.prng import Blake2Engine
+    a = Blake2Engine(seed=np.arange(64, dtype=np.uint8))
+    b = Blake2Engine(seed=np.arange(64, dtype=np.uint8))
+    c = Blake2Engine(seed=np.zeros(64, np.uint8))
+    xa = a.random_uint32s(32)
+    assert np.array_equal(xa, b.random_uint32s(32))
+    assert not np.array_equal(xa, c.random_uint32s(32))
+    assert xa.dtype == np.uint32
+
+
+def test_openfhe_exception_caller_info():
+    from openfhe_tpu.utils.exception import (OpenFHEException,
+                                             openfhe_throw)
+    try:
+        openfhe_throw("bad config")
+        assert False
+    except OpenFHEException as e:
+        assert "bad config" in str(e)
+        assert "test_math_utils" in str(e)
+
+
+def test_generic_dgg_statistics():
+    """dgg_generic.py (reference discretegaussiangeneratorgeneric.cpp):
+    runtime (center, std) sampling from fixed base samplers."""
+    from openfhe_tpu.math.dgg_generic import (BaseSampler, BitGenerator,
+                                              DiscreteGaussianGeneratorGeneric,
+                                              KNUTH_YAO, PEIKERT)
+    bg = BitGenerator()
+    log_base = 2
+    base_std = 34.0
+    samplers = [BaseSampler(i / 4.0, base_std, bg, PEIKERT)
+                for i in range(4)]
+    gen = DiscreteGaussianGeneratorGeneric(samplers, base_std, log_base,
+                                           n_smooth=16.0)
+    xs = np.array([gen.generate_integer(5.25, 300.0) for _ in range(800)],
+                  np.float64)
+    assert abs(xs.mean() - 5.25) < 40.0
+    assert abs(xs.std() - 300.0) < 60.0
+
+    # Knuth-Yao base sampler agrees with Peikert statistically
+    ky = BaseSampler(0.5, 12.0, bg, KNUTH_YAO)
+    ys = np.array([ky.generate_integer() for _ in range(800)], np.float64)
+    assert abs(ys.mean() - 0.5) < 1.5
+    assert abs(ys.std() - 12.0) < 2.5

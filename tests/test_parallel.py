@@ -83,3 +83,25 @@ def ckks64():
         cc.Enable(f)
     kp = cc.KeyGen()
     return cc, kp
+
+
+def test_ciphertext_metadata_map(ckks64):
+    """Reference ciphertext.h m_metadataMap semantics."""
+    cc, kp = ckks64
+    ct = cc.Encrypt(kp.public_key,
+                    cc.MakeCKKSPackedPlaintext(np.ones(8), slots=8))
+    ct2 = ct.SetMetadataByKey("tag", {"owner": "alice"})
+    assert ct2.FindMetadataByKey("tag")
+    assert not ct.FindMetadataByKey("tag")         # original untouched
+    assert ct2.GetMetadataByKey("tag")["owner"] == "alice"
+    ct3 = ct2.SetMetadataByKey("tag", 7).Clone()
+    assert ct3.GetMetadataByKey("tag") == 7
+    assert len(ct3.GetMetadataMap()) == 1
+    try:
+        ct.GetMetadataByKey("missing")
+        assert False
+    except KeyError:
+        pass
+    # metadata survives homomorphic ops through replace()
+    ct4 = cc.EvalAdd(ct2, ct2)
+    assert ct4.FindMetadataByKey("tag")
