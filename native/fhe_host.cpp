@@ -132,6 +132,53 @@ void to_residues_i64(const i64* values, const u64* moduli, int k, int n,
     }
 }
 
+// Negacyclic NTT mod q (q < 2^32, q = 1 mod 2n), in place over a batch.
+// psi_br / ipsi_br are the bit-reversed power tables shared with the
+// Python host kernel (pke/encoding/packed.py _host_tables); layouts and
+// butterfly order match it exactly so outputs are bit-identical.
+void host_ntt(u64* x, int batch, int n, u64 q, const u64* psi_br,
+              const u64* ipsi_br, u64 ninv, int inverse) {
+    for (int b = 0; b < batch; ++b) {
+        u64* a = x + (u64)b * n;
+        if (!inverse) {
+            int step = n;
+            for (int m = 1; m < n; m <<= 1) {
+                step >>= 1;
+                for (int i = 0; i < m; ++i) {
+                    u64 s = psi_br[m + i];
+                    int j1 = 2 * i * step;
+                    for (int j = j1; j < j1 + step; ++j) {
+                        u64 u = a[j];
+                        u64 v = mulmod64(a[j + step], s, q);
+                        u64 lo = u + v;
+                        a[j] = lo >= q ? lo - q : lo;
+                        a[j + step] = u >= v ? u - v : u + q - v;
+                    }
+                }
+            }
+        } else {
+            int step = 1;
+            for (int m = n >> 1; m >= 1; m >>= 1) {
+                for (int i = 0; i < m; ++i) {
+                    u64 s = ipsi_br[m + i];
+                    int j1 = 2 * i * step;
+                    for (int j = j1; j < j1 + step; ++j) {
+                        u64 u = a[j];
+                        u64 v = a[j + step];
+                        u64 lo = u + v;
+                        a[j] = lo >= q ? lo - q : lo;
+                        a[j + step] = mulmod64(u >= v ? u - v : u + q - v,
+                                               s, q);
+                    }
+                }
+                step <<= 1;
+            }
+            for (int j = 0; j < n; ++j)
+                a[j] = mulmod64(a[j], ninv, q);
+        }
+    }
+}
+
 // Centered exact modulus switch between single-word moduli:
 //   out = round(centered(v mod q_from) * q_to / q_from) mod q_to
 void switch_centered_u64(const u64* values, u64 q_from, u64 q_to, int n,

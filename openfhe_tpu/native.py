@@ -48,6 +48,9 @@ def _load():
                                     u32p]
     lib.switch_centered_u64.argtypes = [u64p, ctypes.c_uint64,
                                         ctypes.c_uint64, ctypes.c_int, u64p]
+    lib.host_ntt.argtypes = [u64p, ctypes.c_int, ctypes.c_int,
+                             ctypes.c_uint64, u64p, u64p, ctypes.c_uint64,
+                             ctypes.c_int]
     _LIB = lib
     return lib
 
@@ -79,3 +82,23 @@ def to_residues_i64(values: np.ndarray, moduli) -> np.ndarray | None:
     out = np.empty((len(moduli), len(vals)), np.uint32)
     lib.to_residues_i64(vals, mods, len(moduli), len(vals), out)
     return out
+
+
+def host_ntt(x: np.ndarray, q: int, psi_br: np.ndarray, ipsi_br: np.ndarray,
+             ninv: int, inverse: bool) -> np.ndarray | None:
+    """Batched negacyclic NTT mod q on the host (C++, in place on a copy).
+
+    x: [..., n] uint64-compatible; returns same shape uint64, or None when
+    the native library is unavailable (caller falls back to numpy)."""
+    lib = _load()
+    if not lib:
+        return None
+    arr = np.ascontiguousarray(x, np.uint64).copy()
+    n = arr.shape[-1]
+    batch = int(arr.size // n)
+    flat = arr.reshape(batch, n)
+    lib.host_ntt(flat, batch, n, q,
+                 np.ascontiguousarray(psi_br, np.uint64),
+                 np.ascontiguousarray(ipsi_br, np.uint64),
+                 int(ninv), 1 if inverse else 0)
+    return arr

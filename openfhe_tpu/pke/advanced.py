@@ -150,21 +150,43 @@ def _powers(cc, ct: Ciphertext, n: int) -> dict:
     return pows
 
 
-def eval_poly_linear(cc, ct: Ciphertext, coeffs) -> Ciphertext:
-    """f(ct) = sum_j coeffs[j] * ct^j (reference: EvalPolyLinear)."""
-    coeffs = list(map(float, coeffs))
-    n = len(coeffs) - 1
-    pows = _powers(cc, ct, n)
+def _as_scalars(coeffs) -> list:
+    out = []
+    for c in coeffs:
+        c = complex(c)
+        out.append(c.real if c.imag == 0.0 else c)
+    return out
+
+
+def eval_powers(cc, ct: Ciphertext, coefficients) -> dict:
+    """Power basis ct^1..ct^deg sized by the coefficient vector
+    (reference EvalPowers, cryptocontext.h:2716); reusable across several
+    EvalPolyWithPrecomp calls."""
+    return _powers(cc, ct, max(1, len(coefficients) - 1))
+
+
+def eval_poly_with_precomp(cc, pows: dict, coeffs) -> Ciphertext:
+    """(reference EvalPolyWithPrecomp, cryptocontext.h:2739)"""
+    coeffs = _as_scalars(coeffs)
     acc = None
-    for j in range(1, n + 1):
+    for j in range(1, len(coeffs)):
         if coeffs[j] == 0.0:
             continue
         term = cc.EvalMult(pows[j], coeffs[j])
         acc = term if acc is None else cc.EvalAdd(acc, term)
-    if coeffs[0] != 0.0 or acc is None:
-        acc = cc.EvalAdd(acc, coeffs[0]) if acc is not None else \
-            cc.EvalMult(ct, 0.0)
+    if acc is None:
+        acc = cc.EvalMult(pows[1], 0.0)
+    if coeffs[0] != 0.0:
+        acc = cc.EvalAdd(acc, coeffs[0])
     return acc
+
+
+def eval_poly_linear(cc, ct: Ciphertext, coeffs) -> Ciphertext:
+    """f(ct) = sum_j coeffs[j] * ct^j (reference: EvalPolyLinear);
+    real or complex coefficients."""
+    coeffs = _as_scalars(coeffs)
+    pows = _powers(cc, ct, len(coeffs) - 1)
+    return eval_poly_with_precomp(cc, pows, coeffs)
 
 
 def eval_poly(cc, ct: Ciphertext, coeffs) -> Ciphertext:
@@ -195,6 +217,38 @@ def _cheb_basis(cc, y: Ciphertext, upto: int) -> dict:
         else:
             t[j] = cc.EvalSub(two, t[d])
     return t
+
+
+def eval_cheby_polys(cc, ct: Ciphertext, coefficients, a: float,
+                     b: float) -> dict:
+    """Chebyshev basis T_1..T_deg of the affinely-mapped input (reference
+    EvalChebyPolys, cryptocontext.h:2793); reusable across several series
+    (EvalChebyshevSeriesWithPrecomp)."""
+    n = max(1, len(coefficients) - 1)
+    if (a, b) != (-1.0, 1.0):
+        scale = 2.0 / (b - a)
+        shift = -(2.0 * a / (b - a) + 1.0)
+        y = cc.EvalAdd(cc.EvalMult(ct, scale), shift)
+        if cc._auto() and y.noise_deg == 2:
+            y = cc.ModReduce(y)
+    else:
+        y = ct
+    return _cheb_basis(cc, y, n)
+
+
+def eval_chebyshev_series_with_precomp(cc, basis: dict,
+                                       coefficients) -> Ciphertext:
+    """(reference EvalChebyshevSeriesWithPrecomp, cryptocontext.h:2820)
+    sum c_k T_k from a precomputed basis; c_0 halved per the reference
+    convention."""
+    coeffs = [complex(c) for c in coefficients]
+    n = len(coeffs) - 1
+    acc = cc.EvalMult(basis[1], coeffs[1] if n >= 1 else 0.0)
+    for j in range(2, n + 1):
+        if coeffs[j] == 0:
+            continue
+        acc = cc.EvalAdd(acc, cc.EvalMult(basis[j], coeffs[j]))
+    return cc.EvalAdd(acc, coeffs[0] / 2.0)
 
 
 def eval_chebyshev_series_linear(cc, ct: Ciphertext, coefficients,

@@ -587,6 +587,44 @@ class CryptoContext:
         return a.replace(elements=tuple(mo.neg_mod(c, basis.q)
                                         for c in a.elements))
 
+    # -- API-parity aliases (reference cryptocontext.h). Ciphertexts are
+    # immutable pytrees here, so the InPlace/Mutable C++ variants are the
+    # same functional op returning a new ciphertext. --------------------
+    def EvalAddInPlace(self, a, b):
+        return self.EvalAdd(a, b)
+
+    EvalAddMutable = EvalAddInPlace
+    EvalAddNoCheck = EvalAddInPlace
+
+    def EvalSubInPlace(self, a, b):
+        return self.EvalSub(a, b)
+
+    EvalSubMutable = EvalSubInPlace
+
+    def EvalMultInPlace(self, a, b):
+        return self.EvalMult(a, b)
+
+    EvalMultMutable = EvalMultInPlace
+
+    def EvalMultAndRelinearize(self, a, b):
+        """(reference EvalMultAndRelinearize) tensor + full relin."""
+        return self.Relinearize(self.EvalMultNoRelin(a, b))
+
+    def EvalNegateInPlace(self, a):
+        return self.EvalNegate(a)
+
+    def EvalSquareInPlace(self, a):
+        return self.EvalSquare(a)
+
+    EvalSquareMutable = EvalSquareInPlace
+
+    def EvalAtIndex(self, ct, index: int):
+        """(reference EvalAtIndex == EvalRotate)"""
+        return self.EvalRotate(ct, index)
+
+    def EvalAtIndexKeyGen(self, sk, index_list):
+        return self.EvalRotateKeyGen(sk, index_list)
+
     def _encode_like(self, ct: Ciphertext, values) -> Plaintext:
         if self.scheme == Scheme.CKKSRNS_SCHEME:
             return self.MakeCKKSPackedPlaintext(
@@ -976,6 +1014,31 @@ class CryptoContext:
         from openfhe_tpu.pke import advanced
         return advanced.eval_merge(self, cts)
 
+    def EvalPowers(self, ct, coefficients):
+        """(reference cryptocontext.h:2716) reusable power basis."""
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_powers(self, ct, coefficients)
+
+    def EvalPolyWithPrecomp(self, powers, coefficients):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_poly_with_precomp(self, powers, coefficients)
+
+    def EvalPolyPS(self, ct, coeffs):
+        """(reference EvalPolyPS) power-basis evaluation, log-depth."""
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_poly_linear(self, ct, coeffs)
+
+    def EvalChebyPolys(self, ct, coefficients, a: float = -1.0,
+                       b: float = 1.0):
+        """(reference cryptocontext.h:2793) reusable Chebyshev basis."""
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_cheby_polys(self, ct, coefficients, a, b)
+
+    def EvalChebyshevSeriesWithPrecomp(self, basis, coefficients):
+        from openfhe_tpu.pke import advanced
+        return advanced.eval_chebyshev_series_with_precomp(self, basis,
+                                                           coefficients)
+
     def EvalPoly(self, ct, coeffs):
         from openfhe_tpu.pke import advanced
         return advanced.eval_poly(self, ct, coeffs)
@@ -1069,6 +1132,46 @@ class CryptoContext:
                 p_out: int = 0):
         from openfhe_tpu.pke.fhe import fbt
         return fbt.eval_fbt(self, ct, lut, p_in, decode, p_out)
+
+    def EvalFBTNoDecoding(self, ct, lut, p_in: int):
+        """(reference cryptocontext.h:3576) FBT leaving the result in
+        slot form."""
+        from openfhe_tpu.pke.fhe import fbt
+        return fbt.eval_fbt(self, ct, lut, p_in, decode=False)
+
+    def EvalMVBPrecompute(self, ct, p_in: int):
+        """(reference cryptocontext.h:3588) shared exponential powers for
+        multi-value bootstrapping."""
+        from openfhe_tpu.pke.fhe import fbt
+        return fbt.eval_mvb_precompute(self, ct, p_in)
+
+    def EvalMVB(self, powers, lut, p_in: int, decode: bool = True,
+                p_out: int = 0):
+        """(reference cryptocontext.h:3596) evaluate one LUT against
+        precomputed powers — many LUTs amortize one bootstrap."""
+        from openfhe_tpu.pke.fhe import fbt
+        return fbt.eval_mvb(self, powers, lut, p_in, decode, p_out)
+
+    def EvalMVBNoDecoding(self, powers, lut, p_in: int):
+        from openfhe_tpu.pke.fhe import fbt
+        return fbt.eval_mvb(self, powers, lut, p_in, decode=False)
+
+    def EvalHomDecoding(self, ct, p_out: int, slots: int | None = None):
+        """(reference cryptocontext.h:3585)"""
+        from openfhe_tpu.pke.fhe import fbt
+        return fbt.eval_hom_decoding(self, ct, p_out, slots)
+
+    def EvalHermiteTrigSeries(self, ct_exp, func, p: int, order: int = 1,
+                              scale: float = 1.0):
+        """Evaluate a Hermite trigonometric interpolation of `func` on a
+        ciphertext encrypting exp(2*pi*i*x/p) (reference
+        EvalHermiteTrigSeries, cryptocontext.h:3609; coefficients from
+        math/hermite.py; the real part of the result is func(x))."""
+        from openfhe_tpu.math.hermite import get_hermite_trig_coefficients
+        from openfhe_tpu.pke import advanced
+        coeffs = get_hermite_trig_coefficients(func, p, order, scale)
+        return advanced.eval_poly_linear(self, ct_exp,
+                                         [complex(c) for c in coeffs])
 
     # ------------------------------------------------------------------
     # CKKS <-> FHEW scheme switching (reference: cryptocontext.h:3653-3753)

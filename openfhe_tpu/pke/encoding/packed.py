@@ -52,8 +52,14 @@ def _host_tables(t: int, n: int):
 
 
 def _host_ntt(a: np.ndarray, t: int, n: int, inverse: bool) -> np.ndarray:
-    """Exact negacyclic NTT mod t (same algorithm as ops/ntt.py, numpy)."""
+    """Exact negacyclic NTT mod t (same algorithm as ops/ntt.py; C++ fast
+    path via openfhe_tpu/native.py when built, numpy otherwise)."""
     psi_br, ipsi_br, ninv, _, _ = _host_tables(t, n)
+    from openfhe_tpu import native
+    fast = native.host_ntt(np.asarray(a) % t, t, psi_br, ipsi_br, ninv,
+                           inverse)
+    if fast is not None:
+        return fast
     x = a.astype(np.uint64) % np.uint64(t)
     tt = np.uint64(t)
     if not inverse:

@@ -74,22 +74,31 @@ def _eval_powers(cc, e: Ciphertext, upto: int) -> dict:
     return pows
 
 
-def eval_fbt(cc, ct: Ciphertext, lut, p_in: int,
-             decode: bool = True, p_out: int = 0) -> Ciphertext:
-    """Evaluate `lut` (a table over Z_{p_in}) on every packed digit.
+class SeriesPowers:
+    """Shared exponential powers (reference seriesPowers<Element>,
+    cryptocontext.h:2716): the expensive raise + C2S + exponential +
+    power-basis work of a functional bootstrap, reusable across many LUTs
+    (EvalMVB)."""
 
-    ct: CKKS ciphertext whose coefficients hold digits at scale q0/p_in
-    (from SchemeletRLWEMP.convert_rlwe_to_ckks at the last level).
-    Returns slots (decode=False) or coefficients (decode=True) holding
-    lut[m_k].
-    """
+    def __init__(self, parts_pows, sparse, slots, orig_slots, p_in):
+        self.parts_pows = parts_pows   # per part: dict j -> E^j ciphertext
+        self.sparse = sparse
+        self.slots = slots
+        self.orig_slots = orig_slots
+        self.p_in = p_in
+
+
+def eval_mvb_precompute(cc, ct: Ciphertext, p_in: int) -> SeriesPowers:
+    """(reference EvalMVBPrecompute, ckksrns-fhe.cpp:3008) raise + C2S +
+    exact complex exponential + its powers, shared by every LUT."""
     p = cc._boot_precom[ct.slots]
     if not hasattr(p, "exp_coeffs"):
-        raise ValueError("call EvalFBTSetup before EvalFBT")
+        raise ValueError("call EvalFBTSetup before EvalFBT/EvalMVB")
     n = cc.ring_dim
     slots = p.slots
     k_chain = len(cc.moduli_q)
     q0 = cc.moduli_q[0]
+    orig_slots = ct.slots
 
     # ---- raise (no correction: the exponential is exact over q0*I) ----
     if ct.noise_deg > 1:
@@ -123,22 +132,31 @@ def eval_fbt(cc, ct: Ciphertext, lut, p_in: int,
         ctxt_enc_i = bt.mult_by_monomial(cc, ctxt_enc_i, 3 * slots)
         parts = [cc.ModReduce(ctxt_enc), cc.ModReduce(ctxt_enc_i)]
 
-    # ---- exponential + Fourier-series LUT ----
-    lut = np.asarray(lut, np.float64)
-    if len(lut) != p_in:
-        raise ValueError("lut must have p_in entries")
-    # E = exp(+2 pi i m / p), so f(m) = sum_j c_j E^j with
-    # c_j = (1/p) sum_m f(m) exp(-2 pi i j m / p) = FFT(f)/p
-    fourier = np.fft.fft(lut) / p_in
-
-    outs = []
+    parts_pows = []
     for part in parts:
         e = cc.EvalChebyshevSeries(part, p.exp_coeffs, -1.0, 1.0)
         if e.noise_deg > 1:
             e = cc.ModReduce(e)
         for _ in range(2):                    # exp(t/4) -> exp(t)
             e = cc.EvalMult(e, e)
-        pows = _eval_powers(cc, e, p_in - 1)
+        parts_pows.append(_eval_powers(cc, e, p_in - 1))
+    return SeriesPowers(parts_pows, p.sparse, slots, orig_slots, p_in)
+
+
+def eval_mvb(cc, powers: SeriesPowers, lut, p_in: int,
+             decode: bool = True, p_out: int = 0) -> Ciphertext:
+    """(reference EvalMVB) apply one LUT's Fourier series to precomputed
+    exponential powers; `decode` runs EvalHomDecoding afterwards."""
+    lut = np.asarray(lut, np.float64)
+    if len(lut) != p_in or p_in != powers.p_in:
+        raise ValueError("lut must have p_in entries matching the "
+                         "precompute")
+    # E = exp(+2 pi i m / p), so f(m) = sum_j c_j E^j with
+    # c_j = (1/p) sum_m f(m) exp(-2 pi i j m / p) = FFT(f)/p
+    fourier = np.fft.fft(lut) / p_in
+
+    outs = []
+    for pows in powers.parts_pows:
         acc = None
         for j in range(1, p_in):
             cj = fourier[j]
@@ -146,19 +164,31 @@ def eval_fbt(cc, ct: Ciphertext, lut, p_in: int,
                 continue
             term = cc.EvalMult(pows[j], complex(cj))
             acc = term if acc is None else cc.EvalAdd(acc, term)
-        acc = cc.EvalAdd(acc, complex(fourier[0]))
+        acc = cc.EvalAdd(acc, complex(fourier[0])) if acc is not None \
+            else cc.EvalAdd(cc.EvalMult(pows[1], 0.0), complex(fourier[0]))
         outs.append(acc)
 
-    if p.sparse:
+    if powers.sparse:
         ctxt_val = outs[0]
     else:
-        enc_i = bt.mult_by_monomial(cc, outs[1], slots)
+        enc_i = bt.mult_by_monomial(cc, outs[1], powers.slots)
         ctxt_val = cc.EvalAdd(outs[0], enc_i)
 
     if not decode:
-        return ctxt_val.replace(slots=ct.slots)
+        return ctxt_val.replace(slots=powers.orig_slots)
+    return eval_hom_decoding(cc, ctxt_val, p_out or p_in,
+                             powers.orig_slots)
 
-    # ---- EvalHomDecoding: back to coefficient packing ----
+
+def eval_hom_decoding(cc, ctxt_val: Ciphertext, p_out: int,
+                      orig_slots: int | None = None) -> Ciphertext:
+    """(reference EvalHomDecoding, ckksrns-fhe.cpp:2964) SlotsToCoeffs +
+    exact integer postScaling back to the schemelet's Q_level/p_out
+    coefficient encoding."""
+    p = cc._boot_precom[orig_slots or ctxt_val.slots]
+    slots = p.slots
+    k_chain = len(cc.moduli_q)
+    q0 = cc.moduli_q[0]
     if ctxt_val.noise_deg > 1:
         ctxt_val = cc.ModReduce(ctxt_val)
     ctxt_dec = bt.eval_linear_transform(cc, ctxt_val, p.s2c_diags,
@@ -171,9 +201,8 @@ def eval_fbt(cc, ct: Ciphertext, lut, p_in: int,
     ctxt_dec = ctxt_dec.replace(scale=ctxt_dec.scale / (
         p.boost1 * p.boost2 * math.pow(2.0, -p.correction)
         * cc.scf_real[k_chain - 1] / float(q0)))
-    # postScaling (reference EvalHomDecoding): lift coefficients to the
-    # schemelet's Q_level/p_out encoding with one exact integer multiply
-    p_out = p_out or p_in
+    # postScaling: lift coefficients to Q_level/p_out with one exact
+    # integer multiply
     q_level = 1
     for q in cc.moduli_q[:cc.size_ql(ctxt_dec.level)]:
         q_level *= q
@@ -181,4 +210,19 @@ def eval_fbt(cc, ct: Ciphertext, lut, p_in: int,
     if post > 1:
         ctxt_dec = bt.mult_by_integer(cc, ctxt_dec, post)
         ctxt_dec = ctxt_dec.replace(scale=ctxt_dec.scale * post)
-    return ctxt_dec.replace(slots=ct.slots)
+    if orig_slots:
+        ctxt_dec = ctxt_dec.replace(slots=orig_slots)
+    return ctxt_dec
+
+
+def eval_fbt(cc, ct: Ciphertext, lut, p_in: int,
+             decode: bool = True, p_out: int = 0) -> Ciphertext:
+    """Evaluate `lut` (a table over Z_{p_in}) on every packed digit.
+
+    ct: CKKS ciphertext whose coefficients hold digits at scale q0/p_in
+    (from SchemeletRLWEMP.convert_rlwe_to_ckks at the last level).
+    Returns slots (decode=False) or coefficients (decode=True) holding
+    lut[m_k].  One-LUT convenience over eval_mvb_precompute + eval_mvb.
+    """
+    powers = eval_mvb_precompute(cc, ct, p_in)
+    return eval_mvb(cc, powers, lut, p_in, decode, p_out)

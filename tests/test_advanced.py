@@ -109,3 +109,61 @@ def test_eval_logistic_chebyshev(ckks):
     dec = cc.Decrypt(kp.secret_key, out).values
     expected = 1.0 / (1.0 + np.exp(-x))
     assert np.abs(dec.real - expected).max() < 5e-2
+
+
+def test_precomp_poly_and_chebyshev(ckks):
+    """EvalPowers/EvalPolyWithPrecomp + EvalChebyPolys/
+    EvalChebyshevSeriesWithPrecomp (reference cryptocontext.h:2716-2820):
+    shared bases across series."""
+    cc, kp = ckks
+    x = np.linspace(-0.9, 0.9, 8)
+    ct = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(x, slots=8))
+
+    c1 = [0.5, 1.0, 0.25, 0.0, 0.125]
+    c2 = [0.0, -1.0, 0.0, 0.5, 0.0]
+    pows = cc.EvalPowers(ct, c1)
+    for c in (c1, c2):
+        got = cc.Decrypt(kp.secret_key,
+                         cc.EvalPolyWithPrecomp(pows, c)).values.real
+        want = np.polyval(list(reversed(c)), x)
+        assert np.abs(got - want).max() < 1e-3, c
+
+    cheb = [1.0, 0.5, 0.25, 0.125]
+    basis = cc.EvalChebyPolys(ct, cheb)
+    got = cc.Decrypt(kp.secret_key, cc.EvalChebyshevSeriesWithPrecomp(
+        basis, cheb)).values.real
+    want = np.polynomial.chebyshev.chebval(x, [cheb[0] / 2] + cheb[1:])
+    assert np.abs(got - want).max() < 1e-3
+
+
+def test_alias_api_surface(ckks):
+    """InPlace/Mutable/AtIndex aliases (reference cryptocontext.h) behave
+    like their functional counterparts."""
+    cc, kp = ckks
+    x = np.linspace(-1, 1, 8)
+    ct = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(x, slots=8))
+    d = cc.Decrypt(kp.secret_key, cc.EvalAddInPlace(ct, ct)).values.real
+    assert np.abs(d - 2 * x).max() < 1e-3
+    d = cc.Decrypt(kp.secret_key, cc.EvalSquareInPlace(ct)).values.real
+    assert np.abs(d - x * x).max() < 1e-3
+    d = cc.Decrypt(kp.secret_key,
+                   cc.EvalMultAndRelinearize(ct, ct)).values.real
+    assert np.abs(d - x * x).max() < 1e-3
+    cc.EvalAtIndexKeyGen(kp.secret_key, [2])
+    d = cc.Decrypt(kp.secret_key, cc.EvalAtIndex(ct, 2)).values.real
+    assert np.abs(d - np.roll(x, -2)).max() < 1e-3
+
+
+def test_hermite_trig_series_homomorphic(ckks):
+    """EvalHermiteTrigSeries: evaluate f through the Hermite trig
+    interpolation on a ciphertext of exp(2*pi*i*m/p)."""
+    cc, kp = ckks
+    p_mod = 8
+    func = lambda j: int((3 * j + 1) % 5)
+    m = np.arange(8) % p_mod
+    z = np.exp(2j * np.pi * m / p_mod)
+    ct = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(z, slots=8))
+    out = cc.EvalHermiteTrigSeries(ct, func, p_mod, order=1)
+    got = 2 * cc.Decrypt(kp.secret_key, out).values.real
+    want = np.array([func(int(j)) for j in m], float)
+    assert np.abs(got - want).max() < 1e-2
