@@ -253,6 +253,18 @@ class CryptoContext:
                               self.params.secret_key_dist,
                               self.params.standard_deviation, ns_int=ns)
 
+    def SparseKeyGen(self) -> KeyPair:
+        """Key pair with a sparse-ternary secret (reference SparseKeyGen,
+        cryptocontext.h:1238; hamming weight 192)."""
+        from openfhe_tpu.pke.constants import SecretKeyDist
+        self._key_counter += 1
+        tag = f"key-{self._key_counter}"
+        ns = getattr(self, "noise_scale_int", 1)
+        return rns_pke.keygen(self.next_rng(), self.basis_qp,
+                              len(self.moduli_q), tag,
+                              SecretKeyDist.SPARSE_TERNARY,
+                              self.params.standard_deviation, ns_int=ns)
+
     def KeySwitchGen(self, old_key: PrivateKey,
                      new_key: PrivateKey) -> EvalKey:
         ns = getattr(self, "noise_scale_int", 1)
@@ -337,6 +349,20 @@ class CryptoContext:
             from openfhe_tpu.pke.schemes import bfv
             return bfv.make_packed_plaintext(self, values)
         raise ValueError("PackedPlaintext requires BGV/BFV")
+
+    def MakePlaintext(self, encoding, values) -> Plaintext:
+        """Generic factory dispatching on PlaintextEncodings (reference
+        MakePlaintext, plaintextfactory.h:136)."""
+        from openfhe_tpu.pke.constants import PlaintextEncodings as PE
+        if encoding == PE.PACKED_ENCODING:
+            return self.MakePackedPlaintext(values)
+        if encoding == PE.CKKS_PACKED_ENCODING:
+            return self.MakeCKKSPackedPlaintext(values)
+        if encoding == PE.COEF_PACKED_ENCODING:
+            return self.MakeCoefPackedPlaintext(values)
+        if encoding == PE.STRING_ENCODING:
+            return self.MakeStringPlaintext(values)
+        raise ValueError(f"unknown plaintext encoding {encoding}")
 
     def MakeCoefPackedPlaintext(self, values) -> Plaintext:
         """Coefficient packing (reference: MakeCoefPackedPlaintext)."""
@@ -625,6 +651,23 @@ class CryptoContext:
     def EvalAtIndexKeyGen(self, sk, index_list):
         return self.EvalRotateKeyGen(sk, index_list)
 
+    EvalAddInPlaceNoCheck = EvalAddInPlace
+    EvalAddMutableInPlace = EvalAddInPlace
+    EvalSubMutableInPlace = EvalSubInPlace
+    EvalMultMutableInPlace = EvalMultInPlace
+
+    def EvalMultNoCheck(self, a, b):
+        return self.EvalMult(a, b)
+
+    def EvalAddManyInPlace(self, cts):
+        return self.EvalAddMany(cts)
+
+    def EvalMultNoRelinNoCheck(self, a, b):
+        return self.EvalMultNoRelin(a, b)
+
+    def EvalLinearWSumMutable(self, cts, weights):
+        return self.EvalLinearWSum(cts, weights)
+
     def _encode_like(self, ct: Ciphertext, values) -> Plaintext:
         if self.scheme == Scheme.CKKSRNS_SCHEME:
             return self.MakeCKKSPackedPlaintext(
@@ -845,6 +888,84 @@ class CryptoContext:
         basis = self.basis_at(ct.level)
         return ct.replace(elements=(mo.add_mod(c0_rot, d0, basis.q), d1))
 
+    # ------------------------------------------------------------------
+    # generic key switching + extended-basis (QP) variants (reference
+    # KeySwitch/KeySwitchExt/KeySwitchDown, cryptocontext.h:1680-1720 and
+    # keyswitch-hybrid.cpp EvalFastKeySwitchCoreExt)
+    # ------------------------------------------------------------------
+
+    def KeySwitch(self, ct: Ciphertext, ek) -> Ciphertext:
+        """Switch a 2-element ciphertext to the key `ek` targets
+        (reference KeySwitch, cryptocontext.h:1685)."""
+        basis = self.basis_at(ct.level)
+        d0, d1 = self._keyswitch_core(ct.elements[1], ek,
+                                      self.size_ql(ct.level))
+        return ct.replace(
+            elements=(mo.add_mod(ct.elements[0], d0, basis.q), d1),
+            key_tag=ek.key_tag)
+
+    KeySwitchInPlace = KeySwitch
+
+    def KeySwitchExt(self, ct: Ciphertext,
+                     add_first: bool = True) -> Ciphertext:
+        """Raise every element to the extended basis Q_l*P (multiply by
+        P); with add_first=False element 0 is left zero, to be re-added
+        after KeySwitchDownFirstElement (reference KeySwitchExt)."""
+        tabs = self.hybrid_tables(self.size_ql(ct.level))
+        elems = [hybrid.raise_c0_ext(c, self.p_modq, self.p_modq_sh, tabs)
+                 for c in ct.elements]
+        if not add_first:
+            elems[0] = jnp.zeros_like(elems[0])
+        return ct.replace(elements=tuple(elems)).SetMetadataByKey(
+            "ext_basis", True)
+
+    def EvalFastRotationExt(self, ct: Ciphertext, index: int, digits,
+                            add_first: bool = True) -> Ciphertext:
+        """Hoisted rotation left in the extended basis (reference
+        EvalFastRotationExt, cryptocontext.h:2412): accumulate many with
+        EvalAddExt, then one KeySwitchDown — one ApproxModDown amortizes
+        an entire rotation ladder."""
+        g = rotation_automorphism_index(index, self.ring_dim)
+        ek = self.eval_automorphism_keys[ct.key_tag][g]
+        tabs = self.hybrid_tables(self.size_ql(ct.level))
+        e0, e1 = hybrid.eval_fast_rotation_core_ext(digits, g, ek, tabs,
+                                                    self.ring_dim)
+        if add_first:
+            idx = jnp.asarray(eval_indices(self.ring_dim, g))
+            c0_rot = jnp.take(ct.elements[0], idx, axis=-1)
+            e0 = mo.add_mod(e0, hybrid.raise_c0_ext(
+                c0_rot, self.p_modq, self.p_modq_sh, tabs),
+                tabs.basis_qlp.q)
+        return ct.replace(elements=(e0, e1)).SetMetadataByKey(
+            "ext_basis", True)
+
+    def EvalAddExt(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """Elementwise add of extended-basis ciphertexts (reference
+        EvalAddExt)."""
+        q = self.hybrid_tables(self.size_ql(a.level)).basis_qlp.q
+        return a.replace(elements=tuple(
+            mo.add_mod(x, y, q) for x, y in zip(a.elements, b.elements)))
+
+    def EvalSubExt(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        q = self.hybrid_tables(self.size_ql(a.level)).basis_qlp.q
+        return a.replace(elements=tuple(
+            mo.sub_mod(x, y, q) for x, y in zip(a.elements, b.elements)))
+
+    def KeySwitchDown(self, ct: Ciphertext) -> Ciphertext:
+        """ApproxModDown an extended-basis ciphertext back to Q_l
+        (reference KeySwitchDown)."""
+        tabs = self.hybrid_tables(self.size_ql(ct.level))
+        out0, out1 = hybrid.mod_down_pair(ct.elements[0], ct.elements[1],
+                                          tabs)
+        return ct.replace(elements=(out0, out1)).SetMetadataByKey(
+            "ext_basis", False)
+
+    def KeySwitchDownFirstElement(self, ct: Ciphertext) -> jnp.ndarray:
+        """Mod-down only element 0 of an extended ciphertext (reference
+        KeySwitchDownFirstElement); returns the raw [k, N] tensor."""
+        tabs = self.hybrid_tables(self.size_ql(ct.level))
+        return hybrid.mod_down_first(ct.elements[0], tabs)
+
 
     # ------------------------------------------------------------------
     # PRE (reference: ReKeyGen/ReEncrypt, cryptocontext.h:3043)
@@ -884,6 +1005,13 @@ class CryptoContext:
         from openfhe_tpu.pke import multiparty
         return multiparty.multiparty_decrypt_fusion(
             self, partials, ct_meta or partials[0])
+
+    def MultiAddPubKeys(self, pk1, pk2, key_tag: str = ""):
+        """Sum two public-key shares over a common random `a` (reference
+        MultiAddPubKeys, cryptocontext.h:3337)."""
+        b = mo.add_mod(pk1.b, pk2.b, self.basis_qp.q)
+        from openfhe_tpu.pke.keys import PublicKey
+        return PublicKey(b=b, a=pk1.a, key_tag=key_tag or pk1.key_tag)
 
     def MultiKeySwitchGen(self, original_sk, new_sk, ek_prev):
         from openfhe_tpu.pke import multiparty
@@ -1095,8 +1223,20 @@ class CryptoContext:
     def EvalBootstrapSetup(self, level_budget=(1, 1), dim1=(0, 0),
                            slots: int = 0, correction_factor: int = 0):
         from openfhe_tpu.pke.fhe import ckks_bootstrap as bt
+        self._boot_setup_args = (level_budget, dim1, correction_factor)
         bt.eval_bootstrap_setup(self, level_budget, dim1, slots,
                                 correction_factor)
+
+    def EvalBootstrapPrecompute(self, slots: int = 0):
+        """Re-run the plaintext precompute for another slot count, reusing
+        the Setup's level budgets (reference EvalBootstrapPrecompute,
+        cryptocontext.h:3526)."""
+        from openfhe_tpu.pke.fhe import ckks_bootstrap as bt
+        args = getattr(self, "_boot_setup_args", None)
+        if args is None:
+            raise RuntimeError("call EvalBootstrapSetup first")
+        level_budget, dim1, correction = args
+        bt.eval_bootstrap_setup(self, level_budget, dim1, slots, correction)
 
     def EvalBootstrapKeyGen(self, sk, slots: int = 0):
         from openfhe_tpu.pke.fhe import ckks_bootstrap as bt
@@ -1208,6 +1348,16 @@ class CryptoContext:
     def EvalSchemeSwitchingSetup(self, params=None):
         return self.EvalCKKStoFHEWSetup(params)
 
+    def EvalFHEWtoCKKSSetup(self, cc_lwe=None, num_slots: int = 0,
+                            logq: int = 25):
+        """(reference EvalFHEWtoCKKSSetup, cryptocontext.h:3734) — the
+        shared switching state covers both directions here; this wires an
+        existing BinFHE context in when provided."""
+        if getattr(self, "_schswch", None) is None:
+            self.EvalCKKStoFHEWSetup(None)
+        if cc_lwe is not None:
+            self._schswch.cc_lwe = cc_lwe
+
     def EvalSchemeSwitchingKeyGen(self, keys, lwe_sk):
         self.EvalCKKStoFHEWKeyGen(keys, lwe_sk)
         self.EvalFHEWtoCKKSKeyGen(keys, lwe_sk)
@@ -1238,6 +1388,13 @@ class CryptoContext:
         return ssw.eval_max_scheme_switching(self, ct, public_key,
                                              num_values, num_slots, p_lwe,
                                              scale_sign)
+
+    # The reference's *Alt variants (cryptocontext.h:3810-3850) trade one
+    # extra level for fewer scheme switches on large value counts; our
+    # tournament implementation already batches all comparisons per round,
+    # so both entry points share it.
+    EvalMinSchemeSwitchingAlt = EvalMinSchemeSwitching
+    EvalMaxSchemeSwitchingAlt = EvalMaxSchemeSwitching
 
     def GetBinCCForSchemeSwitch(self):
         return self._schswch.cc_lwe

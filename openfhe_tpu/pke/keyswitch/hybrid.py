@@ -225,6 +225,49 @@ def eval_fast_rotation_precompute(c1: jnp.ndarray, tabs: HybridTables):
     return _decompose_digits(c1, tabs)
 
 
+def raise_c0_ext(c0: jnp.ndarray, p_modq, p_modq_sh,
+                 tabs: HybridTables) -> jnp.ndarray:
+    """[c0]_{Q_l} -> [P*c0]_{Q_l*P} (reference KeySwitchExt,
+    keyswitch-hybrid.cpp): P*c0 is 0 mod every P tower, and
+    (P mod q_i)*c0 on the Q towers."""
+    size_ql = tabs.size_ql
+    pc0 = mo.mul_mod_shoup(c0, p_modq[:size_ql], p_modq_sh[:size_ql],
+                           tabs.basis_ql.q)
+    kp = len(tabs.basis_p.moduli)
+    zeros = jnp.zeros((kp,) + c0.shape[1:], c0.dtype)
+    return jnp.concatenate([pc0, zeros], axis=0)
+
+
+def eval_fast_rotation_core_ext(digits: list, g: int, ek,
+                                tabs: HybridTables, ring_dim: int):
+    """Hoisted rotation WITHOUT the ApproxModDown epilogue (reference
+    EvalFastRotationExt): returns the (b, a) pair over Q_l*P so many
+    rotations can be accumulated with one final mod-down."""
+    from openfhe_tpu.lattice.automorph import eval_indices
+    idx = jnp.asarray(eval_indices(ring_dim, g))
+    rot_digits = [jnp.take(d, idx, axis=-1) for d in digits]
+    return _fast_core_ext(rot_digits, ek, tabs)
+
+
+def mod_down_pair(ext0: jnp.ndarray, ext1: jnp.ndarray,
+                  tabs: HybridTables):
+    """(reference KeySwitchDown): ApproxModDown both elements of an
+    extended-basis ciphertext back to Q_l."""
+    size_ql = tabs.size_ql
+    out0 = rt.approx_mod_down(ext0[:size_ql], ext0[size_ql:], tabs.basis_ql,
+                              tabs.basis_p, tabs.moddown)
+    out1 = rt.approx_mod_down(ext1[:size_ql], ext1[size_ql:], tabs.basis_ql,
+                              tabs.basis_p, tabs.moddown)
+    return out0, out1
+
+
+def mod_down_first(ext0: jnp.ndarray, tabs: HybridTables) -> jnp.ndarray:
+    """(reference KeySwitchDownFirstElement)"""
+    size_ql = tabs.size_ql
+    return rt.approx_mod_down(ext0[:size_ql], ext0[size_ql:], tabs.basis_ql,
+                              tabs.basis_p, tabs.moddown)
+
+
 def eval_fast_rotation_core(digits: list, g: int, ek, tabs: HybridTables,
                             ring_dim: int):
     """Rotation-by-g keyswitch on hoisted digits (reference
