@@ -142,6 +142,12 @@ def _parts_to_obj(header, arrays):
 # ---------------------------------------------------------------------------
 
 def serialize(obj, sertype: SerType = SerType.BINARY):
+    from openfhe_tpu.pke.context import CryptoContext
+    if isinstance(obj, CryptoContext):
+        # contexts are pure parameter records (reference: contexts
+        # serialize as CCParams and dedup through the factory)
+        s = serialize_context(obj)
+        return s.encode() if sertype == SerType.BINARY else s
     header, blob = _pack(*_obj_to_parts(obj))
     if sertype == SerType.BINARY:
         h = json.dumps(header).encode()
@@ -151,6 +157,11 @@ def serialize(obj, sertype: SerType = SerType.BINARY):
 
 
 def deserialize(data, sertype: SerType = SerType.BINARY):
+    head = data[:1]
+    if head in (b"{", "{"):        # context record (JSON either way)
+        s = data.decode() if isinstance(data, bytes) else data
+        if '"CryptoContext"' in s[:64]:
+            return deserialize_context(s)
     if sertype == SerType.BINARY:
         assert data[:4] == MAGIC, "bad magic"
         (hlen,) = _struct.unpack("<I", data[4:8])
