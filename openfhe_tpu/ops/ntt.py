@@ -32,9 +32,12 @@ def ntt_fwd(x: jnp.ndarray, b: Basis) -> jnp.ndarray:
     """Negacyclic forward NTT: COEFF (natural order) -> EVAL (bit-reversed).
 
     x: uint32 [..., k, N] canonical residues; returns same shape/dtype.
-    Dispatches to the 4-step MXU path for large rings on TPU.
+    Dispatches to the fused single-kernel MXU path (ops/ntt_fused, moduli
+    < ~2^27) or the 4-step multi-call path for large rings on TPU.
     """
-    from openfhe_tpu.ops import ntt4step
+    from openfhe_tpu.ops import ntt4step, ntt_fused
+    if ntt_fused.supported(b):
+        return ntt_fused.ntt_fwd_fused(x, b)
     if ntt4step.supported(b):
         return ntt4step.ntt_fwd_4step(x, b)
     return _ntt_fwd_vpu(x, b)
@@ -42,7 +45,9 @@ def ntt_fwd(x: jnp.ndarray, b: Basis) -> jnp.ndarray:
 
 def ntt_inv(x: jnp.ndarray, b: Basis) -> jnp.ndarray:
     """Negacyclic inverse NTT: EVAL (bit-reversed) -> COEFF (natural)."""
-    from openfhe_tpu.ops import ntt4step
+    from openfhe_tpu.ops import ntt4step, ntt_fused
+    if ntt_fused.supported(b):
+        return ntt_fused.ntt_inv_fused(x, b)
     if ntt4step.supported(b):
         return ntt4step.ntt_inv_4step(x, b)
     return _ntt_inv_vpu(x, b)

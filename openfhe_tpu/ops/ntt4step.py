@@ -36,8 +36,17 @@ def _shoup_np(c: np.ndarray, moduli) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _tower_tables(q: int, n: int):
-    """Host 4-step tables for one (modulus, ring) pair (numpy, cached)."""
+def _tower_tables_raw(q: int, n: int):
+    """Raw uint32 4-step matrices for one (modulus, ring) pair.
+
+    Returns (wr, wc, wri, wci, tw, twi):
+      wr  [R, R] rows d (bit-rev), cols a     — stage-1 forward weights
+      wc  [C, C] rows cc (bit-rev), cols b    — stage-2 forward weights
+      wri [R, R] rows a, cols d' (bit-rev)    — stage-B inverse weights
+      wci [C, C] rows b, cols cc' (bit-rev)   — stage-A inverse weights
+      tw/twi [R, C] indexed [d, b]            — mid twiddles (+ fold-ins)
+    Shared by the gen-2 multi-call path and the gen-3 fused kernel.
+    """
     logn = n.bit_length() - 1
     r = 1 << ((logn + 1) // 2)
     c = n // r
@@ -71,9 +80,18 @@ def _tower_tables(q: int, n: int):
             * (pip[(a_i * c) % (2 * n)] * rinv % q)[:, None]) % q)[:, br_r]
     twi = ((wip[np.outer(d_i, b_i) % n]
             * pip[b_i % (2 * n)][None, :]) % q)[br_r]
+    return (wr.astype(np.uint32), wc.astype(np.uint32),
+            wri.astype(np.uint32), wci.astype(np.uint32),
+            tw.astype(np.uint32), twi.astype(np.uint32))
+
+
+@functools.lru_cache(maxsize=None)
+def _tower_tables(q: int, n: int):
+    """Gen-2 tables: int8-limb form of the raw matrices (numpy, cached)."""
+    wr, wc, wri, wci, tw, twi = _tower_tables_raw(q, n)
     return (mmx.balanced_limbs_host(wr), mmx.balanced_limbs_host(wc),
             mmx.balanced_limbs_host(wri), mmx.balanced_limbs_host(wci),
-            tw.astype(np.uint32), twi.astype(np.uint32))
+            tw, twi)
 
 
 def _power_table_np(base: int, count: int, q: int) -> np.ndarray:
