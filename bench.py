@@ -1,35 +1,62 @@
-"""North-star benchmark: CKKS EvalMult + relinearize throughput.
+"""Benchmark suite: CKKS north star + NTT + bootstrap + binfhe + BFV/BGV.
 
-Target metric (BASELINE.json): ciphertexts/s at N=2^16, L=30 (31 towers of
-<=28/30 bits on 32-bit TPU lanes), hybrid key switching with 3 digits —
-vs. OpenFHE NATIVE_SIZE=64 on a 64-core CPU (estimated ~50 ct/s: OpenFHE
-lib-benchmark EvalMult+relin at N=2^16 with a 30-level chain runs ~20ms
-multithreaded on a modern 64-core Epyc; no published number exists, see
-BASELINE.md).
+North star (BASELINE.json): CKKS EvalMult + relinearize throughput at
+N=2^16 with a 30-level chain, hybrid keyswitch, 3 digits — vs the measured
+OpenFHE CPU baseline (see BASELINE.md "Measured baseline"). The TPU path
+uses 26/27-bit moduli (31 towers, same tower count as the reference's
+28-bit config; CPU per-tower cost is word-size-bound, so the comparison
+is tower-for-tower fair) because the fused Karatsuba kernels require
+moduli < 2^27 (ops/kara.py).
 
-Prints exactly one JSON line.
+Prints one JSON line per metric; the first line is the north star.
+Select subsets with argv[1] in {north, ntt, boot, binfhe, bfvbgv, all};
+default: north only (driver contract: exactly one line by default).
 """
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-# persistent compilation cache: first run pays ~6 min of XLA compiles,
-# subsequent runs start hot
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BASELINE_CT_PER_S = 50.0   # documented estimate, see BASELINE.md
+# Measured on this machine (1-core CPU, .refbuild/baseline_bench.cpp run
+# against the compiled reference v1.5.1; see BASELINE.md): 1.49 ct/s
+# single-core. The driver's stated target is a 64-core CPU; a perfectly
+# scaling 64-core run would reach ~95 ct/s, so we report vs_baseline
+# against that EXTRAPOLATED figure (conservative for us).
+BASELINE_CT_PER_S_1CORE = 1.49
+BASELINE_CT_PER_S_64CORE_EXTRAP = BASELINE_CT_PER_S_1CORE * 64
+
+# Rough speed-of-light accounting for one mult+relin at N=2^16/L=30
+# (kql=31, kp=11, 3 digits): 208 tower-transforms, each 2 Karatsuba-12
+# matmul stages of 2*0.5*256^3 MACs/limb-dot -> int8 ops; measured v5e
+# MXU int8 rate ~124 Tops/s (see PARITY.md "MFU accounting").
+TOWER_TRANSFORMS_PER_MULT = 208
+INT8_OPS_PER_TRANSFORM = 12 * 2 * 2 * (256 ** 3) / 2   # 12 dots, 2 stages
+MEASURED_MXU_INT8_TOPS = 124e12
 
 
-def main():
+def _emit(metric, value, unit, vs_baseline=None, extra=None):
+    rec = {"metric": metric, "value": round(value, 3), "unit": unit}
+    if vs_baseline is not None:
+        rec["vs_baseline"] = round(vs_baseline, 3)
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+    sys.stdout.flush()
+
+
+def bench_north():
     import numpy as np
-    from openfhe_tpu.pke.constants import (PKESchemeFeature, ScalingTechnique,
-                                           Scheme, SecurityLevel)
+    from openfhe_tpu.pke.constants import (PKESchemeFeature,
+                                           ScalingTechnique, Scheme,
+                                           SecurityLevel)
     from openfhe_tpu.pke.context import GenCryptoContext
     from openfhe_tpu.pke.parameters import CCParams
     from openfhe_tpu.pke.keyswitch import hybrid
@@ -38,7 +65,7 @@ def main():
     n = 1 << 16
     depth = 30
     p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=n, mult_depth=depth,
-                 scaling_mod_size=28, first_mod_size=30,
+                 scaling_mod_size=26, first_mod_size=27, aux_mod_size=27,
                  security_level=SecurityLevel.HEStd_128_classic,
                  scaling_technique=ScalingTechnique.FIXEDMANUAL)
     cc = GenCryptoContext(p, seed=7)
@@ -57,41 +84,222 @@ def main():
     ek = cc.eval_mult_keys[kp.secret_key.key_tag]
     basis = tabs.basis_ql
 
-    def mult_relin(carry, _):
+    def mult_relin(carry, b0, b1, e, tb):
         a0, a1 = carry
-        b0, b1 = ct_b.elements
+        if tb.fused is not None and e.bv_sh is not None:
+            from openfhe_tpu.pke.keyswitch import ks_fused
+            return ks_fused.mult_relin_fused(
+                a0, a1, b0, b1, e.bv, e.av, e.bv_sh, e.av_sh, tb.fused)
         mm = lambda x, y: mo.mul_mod(x, y, basis.q, basis.r32, basis.r32_sh,
                                      basis.m32)
         c0 = mm(a0, b0)
-        c1 = mo.add_mod(mm(a0, b1), mm(a1, b0), basis.q)
         c2 = mm(a1, b1)
-        d0, d1 = hybrid.keyswitch_core(c2, ek, tabs)
-        return (mo.add_mod(c0, d0, basis.q), mo.add_mod(c1, d1, basis.q)), 0
+        cross = mm(mo.add_mod(a0, a1, basis.q), mo.add_mod(b0, b1, basis.q))
+        c1 = mo.sub_mod(mo.sub_mod(cross, c0, basis.q), c2, basis.q)
+        d0, d1 = hybrid.keyswitch_core(c2, e, tb)
+        return (mo.add_mod(c0, d0, basis.q), mo.add_mod(c1, d1, basis.q))
 
     iters = 10
 
     @jax.jit
-    def chain(a0, a1):
-        (o0, o1), _ = jax.lax.scan(mult_relin, (a0, a1), None, length=iters)
+    def chain(a0, a1, b0, b1, e, tb):
+        def body(carry, _):
+            return mult_relin(carry, b0, b1, e, tb), 0
+        (o0, o1), _ = jax.lax.scan(body, (a0, a1), None, length=iters)
         return o0, o1
 
     a0, a1 = ct_a.elements
-    out = chain(a0, a1)
+    b0, b1 = ct_b.elements
+    out = chain(a0, a1, b0, b1, ek, tabs)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        out = chain(a0, a1)
+        out = chain(a0, a1, b0, b1, ek, tabs)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     ct_per_s = (iters * reps) / dt
 
-    print(json.dumps({
-        "metric": "ckks_evalmult_relin_ct_per_s_N65536_L30",
-        "value": round(ct_per_s, 3),
-        "unit": "ciphertexts/s",
-        "vs_baseline": round(ct_per_s / BASELINE_CT_PER_S, 3),
-    }))
+    sol_s = (TOWER_TRANSFORMS_PER_MULT * INT8_OPS_PER_TRANSFORM
+             / MEASURED_MXU_INT8_TOPS)
+    mfu = (sol_s * ct_per_s)
+    _emit("ckks_evalmult_relin_ct_per_s_N65536_L30", ct_per_s,
+          "ciphertexts/s",
+          vs_baseline=ct_per_s / BASELINE_CT_PER_S_64CORE_EXTRAP,
+          extra={"vs_measured_1core_cpu":
+                 round(ct_per_s / BASELINE_CT_PER_S_1CORE, 1),
+                 "mxu_mfu": round(mfu, 3),
+                 "note": ("MFU = fraction of v5e int8 matmul "
+                          "speed-of-light for the 208 tower-transforms "
+                          "per mult+relin")})
+    return ct_per_s
+
+
+def bench_ntt():
+    import numpy as np
+    from openfhe_tpu.lattice.basis import make_basis
+    from openfhe_tpu.math import nbtheory
+    from openfhe_tpu.ops import kara
+    from openfhe_tpu.ops.ntt import ntt_fwd
+
+    for logn in (13, 14, 16):
+        n = 1 << logn
+        k = 31
+        mods = []
+        a = kara.MAX_MOD // (2 * n)
+        while len(mods) < k and a > 0:
+            q = a * 2 * n + 1
+            if q <= kara.MAX_MOD and nbtheory.is_prime(q):
+                mods.append(q)
+            a -= 1
+        basis = make_basis(tuple(mods), n)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.integers(
+            0, min(mods), size=(k, n)).astype(np.uint32))
+        iters = 50
+
+        @jax.jit
+        def many(v):
+            def body(c, _):
+                return ntt_fwd(c, basis), 0
+            out, _ = jax.lax.scan(body, v, None, length=iters)
+            return out
+
+        out = many(x)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = many(x)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / (reps * iters)
+        per_tower = dt / k
+        _emit(f"ntt_fwd_towers_per_s_N{n}", 1.0 / per_tower, "transforms/s",
+              extra={"ms_per_31tower_batch": round(dt * 1e3, 3)})
+
+
+def bench_binfhe():
+    import numpy as np
+    from openfhe_tpu.binfhe.context import BinFHEContext
+
+    cc = BinFHEContext()
+    cc.GenerateBinFHEContext("STD128")
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    batch = 64
+    bits_a = np.ones(batch, np.int64)
+    bits_b = np.ones(batch, np.int64)
+    cts_a = cc.EncryptBatch(sk, bits_a) if hasattr(cc, "EncryptBatch") else None
+    if cts_a is None:
+        ct_a = cc.Encrypt(sk, 1)
+        ct_b = cc.Encrypt(sk, 1)
+        t0 = time.perf_counter()
+        out = cc.EvalBinGate("AND", ct_a, ct_b)
+        dt = time.perf_counter() - t0
+        _emit("binfhe_ginx_std128_gate_ms", dt * 1e3, "ms")
+        return
+    cts_b = cc.EncryptBatch(sk, bits_b)
+    out = cc.EvalBinGateBatch("AND", cts_a, cts_b)
+    jax.block_until_ready(out.a)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = cc.EvalBinGateBatch("AND", cts_a, cts_b)
+    jax.block_until_ready(out.a)
+    dt = (time.perf_counter() - t0) / reps
+    _emit("binfhe_ginx_std128_gates_per_s_batch64", batch / dt, "gates/s",
+          extra={"ms_per_batch": round(dt * 1e3, 2)})
+
+
+def bench_boot():
+    import numpy as np
+    from openfhe_tpu.pke.constants import (PKESchemeFeature,
+                                           ScalingTechnique, Scheme,
+                                           SecurityLevel)
+    from openfhe_tpu.pke.context import GenCryptoContext
+    from openfhe_tpu.pke.parameters import CCParams
+
+    n = 1 << 12
+    p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=n,
+                 mult_depth=20, scaling_mod_size=26, first_mod_size=27,
+                 aux_mod_size=27,
+                 security_level=SecurityLevel.HEStd_NotSet,
+                 scaling_technique=ScalingTechnique.FLEXIBLEAUTO)
+    cc = GenCryptoContext(p, seed=7)
+    cc.Enable(PKESchemeFeature.PKE | PKESchemeFeature.KEYSWITCH
+              | PKESchemeFeature.LEVELEDSHE | PKESchemeFeature.ADVANCEDSHE
+              | PKESchemeFeature.FHE)
+    cc.EvalBootstrapSetup(level_budget=(2, 2), slots=n // 2)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    cc.EvalBootstrapKeyGen(kp.secret_key, n // 2)
+    rng = np.random.default_rng(0)
+    z = rng.uniform(-0.5, 0.5, size=n // 2)
+    pt = cc.MakeCKKSPackedPlaintext(z, level=cc.mult_depth - 1)
+    ct = cc.Encrypt(kp.public_key, pt)
+    out = cc.EvalBootstrap(ct)
+    jax.block_until_ready(out.elements[0])
+    t0 = time.perf_counter()
+    out = cc.EvalBootstrap(ct)
+    jax.block_until_ready(out.elements[0])
+    dt = time.perf_counter() - t0
+    dec = cc.Decrypt(kp.secret_key, out)
+    import numpy as np2
+    err = float(np.max(np.abs(np.asarray(dec.values[:n // 2]).real - z)))
+    prec_bits = -np.log2(err) if err > 0 else 40.0
+    _emit("ckks_bootstrap_latency_s_N4096", dt, "s",
+          extra={"precision_bits": round(prec_bits, 1)})
+
+
+def bench_bfvbgv():
+    import numpy as np
+    from openfhe_tpu.pke.constants import (PKESchemeFeature,
+                                           ScalingTechnique, Scheme,
+                                           SecurityLevel)
+    from openfhe_tpu.pke.context import GenCryptoContext
+    from openfhe_tpu.pke.parameters import CCParams
+
+    for scheme, name, kwargs in (
+        (Scheme.BFVRNS_SCHEME, "bfv",
+         dict(mult_depth=2, ring_dim=1 << 14)),
+        (Scheme.BGVRNS_SCHEME, "bgv",
+         dict(mult_depth=10, ring_dim=1 << 15,
+              scaling_technique=ScalingTechnique.FLEXIBLEAUTO)),
+    ):
+        p = CCParams(scheme=scheme, plaintext_modulus=65537,
+                     security_level=SecurityLevel.HEStd_NotSet, **kwargs)
+        cc = GenCryptoContext(p, seed=7)
+        cc.Enable(PKESchemeFeature.PKE | PKESchemeFeature.KEYSWITCH
+                  | PKESchemeFeature.LEVELEDSHE)
+        kp = cc.KeyGen()
+        cc.EvalMultKeyGen(kp.secret_key)
+        v = np.arange(64) % 17
+        pt = cc.MakePackedPlaintext(v)
+        ct1 = cc.Encrypt(kp.public_key, pt)
+        ct2 = cc.Encrypt(kp.public_key, pt)
+        out = cc.EvalMult(ct1, ct2)
+        jax.block_until_ready(out.elements[0])
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            out = cc.EvalMult(ct1, ct2)
+        jax.block_until_ready(out.elements[0])
+        dt = (time.perf_counter() - t0) / reps
+        _emit(f"{name}_evalmult_relin_ms_N{cc.ring_dim}", dt * 1e3, "ms")
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "north"
+    if which in ("north", "all"):
+        bench_north()
+    if which in ("ntt", "all"):
+        bench_ntt()
+    if which in ("boot", "all"):
+        bench_boot()
+    if which in ("binfhe", "all"):
+        bench_binfhe()
+    if which in ("bfvbgv", "all"):
+        bench_bfvbgv()
 
 
 if __name__ == "__main__":

@@ -40,7 +40,7 @@ from openfhe_tpu.math import modops as mo
 
 NDIG = 4            # base-128 balanced digits covering |v| < ~2^27
 NSRC = 9            # p0_{0..2}, p1_{0..2}, p2_{0..2}
-KARA_ROWS = 6       # stacked weight rows per Karatsuba block
+KARA_GROUPS = 3     # weight stack groups (P0, P2, P1), each 2 digit rows
 # balanced digits lie in [-64, 63], so 4 of them represent at most
 # 63 * (1 + 128 + 128^2 + 128^3); moduli must not exceed this (+1)
 MAX_MOD = 63 * (1 + 128 + 128**2 + 128**3) + 1   # 133160896 ~ 2^26.99
@@ -71,15 +71,19 @@ def balanced_limbs128_host(m: np.ndarray) -> np.ndarray:
 
 
 def kara_w_stack_host(w: np.ndarray) -> np.ndarray:
-    """Weight matrix [D, A] (uint, entries < 2^27) -> [KARA_ROWS, D, A] int8.
+    """Weight matrix [D, A] (uint, entries < 2^27) -> [3, 2D, A] int8.
 
-    Row blocks: [w0, w1, w2, w3, w0+w2, w1+w3] — the operands of the three
-    Karatsuba block-products (P0 uses rows 0-1, P2 rows 2-3, P1 rows 4-5).
+    Group g holds the stacked digit-pair rows of one Karatsuba
+    block-product operand (pre-reshaped on host — Mosaic cannot reshape
+    sliced int8 vectors in-kernel):
+      g=0 (P0): [w0; w1]   g=1 (P2): [w2; w3]   g=2 (P1): [w0+w2; w1+w3]
     """
     l = balanced_limbs128_host(w)
-    return np.stack([l[0], l[1], l[2], l[3],
-                     (l[0].astype(np.int16) + l[2]).astype(np.int8),
-                     (l[1].astype(np.int16) + l[3]).astype(np.int8)], axis=0)
+    s02 = (l[0].astype(np.int16) + l[2]).astype(np.int8)
+    s13 = (l[1].astype(np.int16) + l[3]).astype(np.int8)
+    return np.stack([np.concatenate([l[0], l[1]], axis=0),
+                     np.concatenate([l[2], l[3]], axis=0),
+                     np.concatenate([s02, s13], axis=0)], axis=0)
 
 
 def make_kara_consts(moduli) -> dict:
@@ -113,6 +117,36 @@ def make_kara_consts(moduli) -> dict:
     return dict(q=jnp.asarray(np.array([int(m) for m in moduli], np.uint32)),
                 m32=jnp.asarray(m32),
                 c=jnp.asarray(c), ratio=jnp.asarray(ratio))
+
+
+def make_kara_rowmod_consts(out_moduli) -> dict:
+    """Epilogue constants for per-OUTPUT-ROW moduli (RNS base conversion:
+    out[d] = sum_i y[i] * W[i, d] mod q_d). Shapes broadcast over [D, B]:
+    q/m32 [D, 1]; c [NSRC, D, 1] uint32; ratio [NSRC, D, 1] float32."""
+    d = len(out_moduli)
+    c = np.zeros((NSRC, d), np.uint32)
+    ratio = np.zeros((NSRC, d), np.float32)
+    m32 = np.zeros((d,), np.uint32)
+    q = np.zeros((d,), np.uint32)
+    for di, qq in enumerate(out_moduli):
+        qi = int(qq)
+        if qi > MAX_MOD:
+            raise ValueError(f"modulus {qi} too large for kara epilogue")
+        for t in range(3):
+            vals = (
+                (pow(2, 7 * t, qi) - pow(2, 7 * t + 14, qi)) % qi,
+                pow(2, 7 * t + 14, qi),
+                (pow(2, 7 * t + 28, qi) - pow(2, 7 * t + 14, qi)) % qi,
+            )
+            for s in range(3):
+                c[3 * s + t, di] = vals[s]
+                ratio[3 * s + t, di] = vals[s] / qi
+        m32[di] = (1 << 32) // qi
+        q[di] = qi
+    return dict(q=jnp.asarray(q.reshape(d, 1)),
+                m32=jnp.asarray(m32.reshape(d, 1)),
+                c=jnp.asarray(c.reshape(NSRC, d, 1)),
+                ratio=jnp.asarray(ratio.reshape(NSRC, d, 1)))
 
 
 def _check_error_budget():
@@ -159,26 +193,21 @@ def kara_x_groups(v_u32):
     return g0, g2, g1
 
 
-def kara_dots(w_stack, x_u32, *, dn=None):
+def kara_dots(w_stack, x_u32):
     """The three Karatsuba block dots.
 
-    w_stack: int8 [KARA_ROWS, D, A]; x_u32: uint32 [A, B].
+    w_stack: int8 [3, 2D, A] (kara_w_stack_host); x_u32: uint32 [A, B].
     Returns (d0, d2, d1): int32 [2D, 2B] each, where block (i, j) of dg is
     (w-digit i) x (x-digit j) for that group.
     """
     g0, g2, g1 = kara_x_groups(x_u32)
-    dim = dn or (((1,), (0,)), ((), ()))
-    d, a = w_stack.shape[1], w_stack.shape[2]
-    w0 = w_stack[0:2].reshape(2 * d, a)
-    w2 = w_stack[2:4].reshape(2 * d, a)
-    w1 = w_stack[4:6].reshape(2 * d, a)
 
     def dot(w, g):
         # w [2D, A] x g [A, 2B] -> [2D, 2B]; block (i, j) = w_i @ x_j
         return jax.lax.dot_general(w, g, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.int32)
 
-    return dot(w0, g0), dot(w2, g2), dot(w1, g1)
+    return dot(w_stack[0], g0), dot(w_stack[1], g2), dot(w_stack[2], g1)
 
 
 def kara_sources(d0, d2, d1, d_dim, b_dim):
@@ -226,7 +255,7 @@ def kara_recombine(ps, q, c_vec, ratio_vec, m32):
 
 def mod_matmul_kara_ref(w_stack, x_u32, consts, tower: int):
     """jnp reference path for one tower (used by tests and CPU fallback)."""
-    d_dim = w_stack.shape[1]
+    d_dim = w_stack.shape[1] // 2
     b_dim = x_u32.shape[-1]
     d0, d2, d1 = kara_dots(w_stack, x_u32)
     ps = kara_sources(d0, d2, d1, d_dim, b_dim)

@@ -94,39 +94,37 @@ def _dev_tables(moduli: tuple, n: int):
 # in-kernel helpers
 # ---------------------------------------------------------------------------
 
-def _kara_nn(w6, x):
-    """Standard contraction: block products of w [6, D, A] with x [A, B].
+def _kara_nn(w3, x):
+    """Standard contraction: block products of w [3, 2D, A] with x [A, B].
 
     Returns the 9 epilogue sources [D, B] (see kara.kara_sources)."""
-    d = w6.shape[1]
+    d = w3.shape[1] // 2
     b = x.shape[-1]
     g0c, g2c, g1c = kara.kara_x_groups(x)                  # [A, 2B]
     dots = []
-    for wrows, g in ((w6[0:2], g0c), (w6[2:4], g2c), (w6[4:6], g1c)):
-        w2 = wrows.reshape(2 * d, w6.shape[2])
+    for g_idx, g in ((0, g0c), (1, g2c), (2, g1c)):
         dots.append(jax.lax.dot_general(
-            w2, g, (((1,), (0,)), ((), ())),
+            w3[g_idx], g, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32))
     return kara.kara_sources(dots[0], dots[1], dots[2], d, b)
 
 
-def _kara_nt(x, w6):
-    """NT contraction: block products of x [R, C] with w [6, D, C] over C.
+def _kara_nt(x, w3):
+    """NT contraction: block products of x [R, C] with w [3, 2D, C] over C.
 
     Computes block (i, j) = x_i . w_j (contract last axes). Returns the 9
     sources [R, D]."""
     r = x.shape[0]
-    d = w6.shape[1]
+    d = w3.shape[1] // 2
     l = kara.data_limbs128(x)
     xg0 = jnp.concatenate([l[0], l[1]], axis=0)            # [2R, C]
     xg2 = jnp.concatenate([l[2], l[3]], axis=0)
     xg1 = jnp.concatenate([kara._add_i8(l[0], l[2]),
                            kara._add_i8(l[1], l[3])], axis=0)
     dots = []
-    for g, wrows in ((xg0, w6[0:2]), (xg2, w6[2:4]), (xg1, w6[4:6])):
-        w2 = wrows.reshape(2 * d, w6.shape[2])
+    for g, w_idx in ((xg0, 0), (xg2, 1), (xg1, 2)):
         dots.append(jax.lax.dot_general(
-            g, w2, (((1,), (1,)), ((), ())),
+            g, w3[w_idx], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32))             # [2R, 2D]
     return kara.kara_sources(dots[0], dots[1], dots[2], r, d)
 

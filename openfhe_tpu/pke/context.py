@@ -718,9 +718,12 @@ class CryptoContext:
                                      basis.m32)
         a0, a1 = a.elements[0], a.elements[1]
         b0, b1 = b.elements[0], b.elements[1]
+        # Karatsuba: c1 = (a0+a1)(b0+b1) - c0 - c2 — 3 modmuls, not 4
+        # (the elementwise var x var modmul is VPU-bound on TPU)
         c0 = mm(a0, b0)
-        c1 = mo.add_mod(mm(a0, b1), mm(a1, b0), basis.q)
         c2 = mm(a1, b1)
+        cross = mm(mo.add_mod(a0, a1, basis.q), mo.add_mod(b0, b1, basis.q))
+        c1 = mo.sub_mod(mo.sub_mod(cross, c0, basis.q), c2, basis.q)
         return a.replace(elements=(c0, c1, c2), noise_deg=a.noise_deg + b.noise_deg,
                          scale=a.scale * b.scale,
                          scale_int=a.scale_int * b.scale_int)

@@ -38,9 +38,16 @@ class EvalKey:
 
     HYBRID: bv/av are [dnum, kQ+kP, N] over QP (keyswitch-hybrid.cpp layout).
     BV:     bv/av are [num_digits, kQ, N] over Q.
+
+    bv_sh/av_sh are optional per-element Shoup companions
+    (floor(k * 2^32 / q)) used by the fused TPU keyswitch kernels
+    (pke/keyswitch/ks_fused.py); absent on deserialized legacy keys and
+    recomputed lazily by the context.
     """
     bv: jnp.ndarray
     av: jnp.ndarray
+    bv_sh: jnp.ndarray = None
+    av_sh: jnp.ndarray = None
     key_tag: str = struct.field(pytree_node=False, default="")
 
 

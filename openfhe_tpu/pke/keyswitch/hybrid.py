@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from openfhe_tpu.lattice.basis import Basis
@@ -51,8 +52,9 @@ class HybridTables:
     basis_ql: Basis
     basis_p: Basis
     basis_qlp: Basis
-    size_ql: int = struct.field(pytree_node=False)
-    k_q_full: int = struct.field(pytree_node=False)
+    fused: object = None         # ks_fused.FusedKSTables on TPU, else None
+    size_ql: int = struct.field(pytree_node=False, default=0)
+    k_q_full: int = struct.field(pytree_node=False, default=0)
 
 
 def make_hybrid_tables(basis_q: Basis, basis_p: Basis, size_ql: int,
@@ -79,11 +81,18 @@ def make_hybrid_tables(basis_q: Basis, basis_p: Basis, size_ql: int,
             switch=rt.make_switch_tables(digit_mods, compl_mods),
             digit_basis=digit_basis, compl_basis=compl_basis,
             start=start, end=end))
+    from openfhe_tpu.pke.keyswitch import ks_fused
+    fused = None
+    if ks_fused.supported(list(q_mods) + list(p_mods), basis_q.ring_dim):
+        fused = ks_fused.make_fused_ks_tables(
+            q_mods, p_mods, size_ql, num_parts_full, basis_q.ring_dim,
+            k_full, ns_int=ns_int)
     return HybridTables(
         parts=tuple(parts),
         moddown=rt.make_mod_down_tables(p_mods, q_mods, t=ns_int),
         basis_ql=basis_ql, basis_p=basis_p,
         basis_qlp=basis_ql.concat(basis_p),
+        fused=fused,
         size_ql=size_ql, k_q_full=k_full)
 
 
@@ -120,8 +129,9 @@ def keyswitch_gen(rng, s_old: PrivateKey, s_new: PrivateKey,
         b = jnp.where(mask, mo.add_mod(b, ps_old, basis_qp.q), b)
         bs.append(b)
         as_.append(a)
-    return EvalKey(bv=jnp.stack(bs), av=jnp.stack(as_),
-                   key_tag=s_new.key_tag)
+    ek = EvalKey(bv=jnp.stack(bs), av=jnp.stack(as_),
+                 key_tag=s_new.key_tag)
+    return shoup_companions(ek, basis_qp.moduli)
 
 
 def keyswitch_gen_pk(rng, s_old: PrivateKey, new_pk, basis_qp: Basis,
@@ -159,8 +169,9 @@ def keyswitch_gen_pk(rng, s_old: PrivateKey, new_pk, basis_qp: Basis,
         b = jnp.where(mask, mo.add_mod(b, ps_old, basis_qp.q), b)
         bs.append(b)
         as_.append(a)
-    return EvalKey(bv=jnp.stack(bs), av=jnp.stack(as_),
-                   key_tag=new_pk.key_tag)
+    ek = EvalKey(bv=jnp.stack(bs), av=jnp.stack(as_),
+                 key_tag=new_pk.key_tag)
+    return shoup_companions(ek, basis_qp.moduli)
 
 
 def _decompose_digits(c: jnp.ndarray, tabs: HybridTables) -> list:
@@ -204,10 +215,30 @@ def _fast_core_ext(digits: list, ek: EvalKey, tabs: HybridTables):
     return acc0, acc1
 
 
+def shoup_companions(ek: EvalKey, moduli_qp) -> EvalKey:
+    """Attach per-element Shoup companions (host numpy, one-time at
+    keygen) enabling the fused kernels' constant-multiply key product."""
+    q = np.array([int(m) for m in moduli_qp], np.uint64).reshape(1, -1, 1)
+    bv = np.asarray(ek.bv).astype(np.uint64)
+    av = np.asarray(ek.av).astype(np.uint64)
+    return EvalKey(bv=ek.bv, av=ek.av,
+                   bv_sh=jnp.asarray(((bv << 32) // q).astype(np.uint32)),
+                   av_sh=jnp.asarray(((av << 32) // q).astype(np.uint32)),
+                   key_tag=ek.key_tag)
+
+
 @jax.jit
 def keyswitch_core(c: jnp.ndarray, ek: EvalKey, tabs: HybridTables):
     """Full KeySwitchCore on one polynomial (usually ct[last]):
-    returns (delta0, delta1) over Q_l in EVAL."""
+    returns (delta0, delta1) over Q_l in EVAL.
+
+    Dispatches to the fused pallas path (pke/keyswitch/ks_fused.py) when
+    the level tables carry fused tables and the key has Shoup companions;
+    otherwise runs the XLA-op reference chain."""
+    if tabs.fused is not None and ek.bv_sh is not None:
+        from openfhe_tpu.pke.keyswitch import ks_fused
+        return ks_fused.keyswitch_core_fused(
+            c, ek.bv, ek.av, ek.bv_sh, ek.av_sh, tabs.fused)
     digits = _decompose_digits(c, tabs)
     ext0, ext1 = _fast_core_ext(digits, ek, tabs)
     size_ql = tabs.size_ql

@@ -1,0 +1,630 @@
+"""Fused hybrid key switching — the Pallas production path on TPU.
+
+Replaces the XLA-op chain of pke/keyswitch/hybrid.py (still the reference/
+CPU path) with six pallas kernel families that keep every intermediate in
+VMEM within a grid step and fold the epilogues of SURVEY.md §2.4's promised
+"one fused keyswitch kernel" design:
+
+  K1  intt_scale      c2 EVAL -> COEFF, x (B_j/b_i)^{-1} folded per tower
+  K2  conv_digits     per-digit base extension as one Karatsuba rowmod
+                      matmul into ALL QlP tower rows (own rows zeroed)
+  K3  ntt_keymul_acc  per (tower, digit): forward NTT of the extended
+                      digit, multiply by the key pair (Shoup, precomputed
+                      companions), accumulate over digits — the
+                      EvalFastKeySwitchCore inner product with zero HBM
+                      intermediates; "own" towers skip the NTT (lax.cond)
+                      and multiply the original EVAL slice directly
+  K4  intt_scale      ext P-part -> COEFF, x (P/p_i)^{-1} t^{-1} folded
+  K5  conv P->Q       Karatsuba rowmod matmul
+  K6  ntt_subscale    (x_q - t*NTT(conv)) * P^{-1} — the ApproxModDown
+                      epilogue folded into the final NTT's last stage
+
+Reference analogs: keyswitch-hybrid.cpp EvalKeySwitchPrecomputeCore /
+EvalFastKeySwitchCore and DCRTPolyImpl::ApproxModDown (dcrtpoly-impl.h).
+
+Engages when the ring is >= 2^14 and every modulus is kara-compatible
+(< ~2^27); pke/keyswitch/hybrid.py dispatches here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from openfhe_tpu.math import modops as mo
+from openfhe_tpu.ops import kara
+from openfhe_tpu.ops import ntt_fused as nf
+
+
+def supported(moduli_qlp, ring_dim: int) -> bool:
+    return (jax.default_backend() == "tpu" and ring_dim >= nf.MIN_RING_DIM
+            and ring_dim & (ring_dim - 1) == 0
+            and kara.kara_supported(moduli_qlp))
+
+
+# ---------------------------------------------------------------------------
+# tables
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class FusedKSTables:
+    """Device tables for one ciphertext level."""
+    # fused-NTT tables over the Ql*P moduli (fwd + inv weight stacks)
+    wr: jnp.ndarray          # [kqlp, 3, 2R, R] int8
+    wc: jnp.ndarray          # [kqlp, 6, C, C]
+    wri: jnp.ndarray
+    wci: jnp.ndarray
+    tw: jnp.ndarray          # [kqlp, R, C] uint32
+    tw_sh: jnp.ndarray
+    twi: jnp.ndarray
+    twi_sh: jnp.ndarray
+    kq: jnp.ndarray          # [kqlp] uint32 moduli
+    km32: jnp.ndarray        # [kqlp]
+    kc: jnp.ndarray          # [kqlp, 9]
+    kratio: jnp.ndarray      # [kqlp, 9] float32
+    r32_q: jnp.ndarray       # [kqlp] 2^32 mod q (+ shoup) for var x var mul
+    r32_q_sh: jnp.ndarray
+    # K1 epilogue: (B_j/b_i)^{-1} mod b_i per Q tower
+    bhatinv_q: jnp.ndarray       # [kql] uint32
+    bhatinv_q_sh: jnp.ndarray
+    # K4 epilogue: (P/p_i)^{-1} * t^{-1} mod p_i per P tower
+    pscale: jnp.ndarray          # [kp]
+    pscale_sh: jnp.ndarray
+    # K6 epilogue: t mod q_i and P^{-1} mod q_i per Q tower
+    t_modq: jnp.ndarray          # [kql]
+    t_modq_sh: jnp.ndarray
+    pinv_q: jnp.ndarray          # [kql]
+    pinv_q_sh: jnp.ndarray
+    # K2: digit -> QlP conversion weights, own rows zero
+    conv_w: jnp.ndarray          # [nd, 3, 2*kqlp, alpha] int8
+    conv_rm_q: jnp.ndarray       # [kqlp, 1] rowmod epilogue consts
+    conv_rm_m32: jnp.ndarray
+    conv_rm_c: jnp.ndarray       # [9, kqlp, 1]
+    conv_rm_ratio: jnp.ndarray
+    # K5: P -> Ql conversion
+    pconv_w: jnp.ndarray         # [3, 2*kql, kp] int8
+    pconv_rm_q: jnp.ndarray      # [kql, 1]
+    pconv_rm_m32: jnp.ndarray
+    pconv_rm_c: jnp.ndarray
+    pconv_rm_ratio: jnp.ndarray
+    # statics
+    kql: int = struct.field(pytree_node=False)
+    kp: int = struct.field(pytree_node=False)
+    nd: int = struct.field(pytree_node=False)
+    alpha: int = struct.field(pytree_node=False)
+    k_q_full: int = struct.field(pytree_node=False)
+    r: int = struct.field(pytree_node=False)
+    c: int = struct.field(pytree_node=False)
+    t_is_one: bool = struct.field(pytree_node=False)
+
+
+def _shoup_np(vals, mods):
+    v = np.array([int(x) for x in vals], np.uint64)
+    q = np.array([int(x) for x in mods], np.uint64)
+    return (v.astype(np.uint32),
+            ((v << np.uint64(32)) // q).astype(np.uint32))
+
+
+@functools.lru_cache(maxsize=None)
+def _qlp_ntt_tables(moduli_qlp: tuple, n: int):
+    t = nf._fused_tables_np(moduli_qlp, n)
+    kc = kara.make_kara_consts(moduli_qlp)
+    return t, kc
+
+
+def make_fused_ks_tables(moduli_q, moduli_p, size_ql: int, num_parts: int,
+                         ring_dim: int, k_q_full: int,
+                         ns_int: int = 1) -> FusedKSTables:
+    """Host precompute (numpy/Python ints) for one level."""
+    mq = [int(x) for x in moduli_q[:size_ql]]
+    mp = [int(x) for x in moduli_p]
+    mqlp = mq + mp
+    kql, kp = len(mq), len(mp)
+    alpha = -(-k_q_full // num_parts)
+    nd = min(-(-kql // alpha), num_parts)
+    t, kc = _qlp_ntt_tables(tuple(mqlp), ring_dim)
+
+    # K1: per Q tower, digit-local CRT lift inverse
+    bhatinv = []
+    for i, q in enumerate(mq):
+        j = min(i // alpha, nd - 1)
+        digits = mq[j * alpha:min((j + 1) * alpha, kql)]
+        bj = 1
+        for b in digits:
+            bj *= b
+        bhatinv.append(pow((bj // q) % q, -1, q))
+    bh, bh_sh = _shoup_np(bhatinv, mq)
+
+    # K2 conversion weights: W[j][row tau, col i] = [B_j / b_i]_{q_tau}
+    conv_w = np.zeros((nd, kara.KARA_GROUPS, 2 * (kql + kp), alpha),
+                      np.int8)
+    for j in range(nd):
+        start, end = j * alpha, min((j + 1) * alpha, kql)
+        digits = mq[start:end]
+        bj = 1
+        for b in digits:
+            bj *= b
+        w = np.zeros((kql + kp, alpha), np.uint64)
+        for tau, qt in enumerate(mqlp):
+            if start <= tau < end:
+                continue                      # own rows stay zero
+            for i, b in enumerate(digits):
+                w[tau, i] = (bj // b) % qt
+        conv_w[j] = kara.kara_w_stack_host(w)
+    rm = kara.make_kara_rowmod_consts(mqlp)
+
+    # K4 epilogue: (P/p_i)^{-1} * t^{-1} mod p_i
+    big_p = 1
+    for p in mp:
+        big_p *= p
+    pscale = [pow((big_p // p) % p, -1, p) * pow(ns_int % p, -1, p) % p
+              for p in mp]
+    ps, ps_sh = _shoup_np(pscale, mp)
+
+    # K5: W[row q_i, col p_j] = [P / p_j]_{q_i}
+    w5 = np.zeros((kql, kp), np.uint64)
+    for i, q in enumerate(mq):
+        for jj, p in enumerate(mp):
+            w5[i, jj] = (big_p // p) % q
+    pconv_w = kara.kara_w_stack_host(w5)
+    rm5 = kara.make_kara_rowmod_consts(mq)
+
+    # K6 epilogue: t mod q and P^{-1} mod q
+    tq, tq_sh = _shoup_np([ns_int % q for q in mq], mq)
+    pinv, pinv_sh = _shoup_np([pow(big_p % q, -1, q) for q in mq], mq)
+    r32, r32_sh = _shoup_np([(1 << 32) % q for q in mqlp], mqlp)
+
+    j = jnp.asarray
+    return FusedKSTables(
+        wr=j(t["wr"]), wc=j(t["wc"]), wri=j(t["wri"]), wci=j(t["wci"]),
+        tw=j(t["tw"]), tw_sh=j(t["tw_sh"]), twi=j(t["twi"]),
+        twi_sh=j(t["twi_sh"]),
+        kq=kc["q"], km32=kc["m32"], kc=kc["c"], kratio=kc["ratio"],
+        r32_q=j(r32), r32_q_sh=j(r32_sh),
+        bhatinv_q=j(bh), bhatinv_q_sh=j(bh_sh),
+        pscale=j(ps), pscale_sh=j(ps_sh),
+        t_modq=j(tq), t_modq_sh=j(tq_sh),
+        pinv_q=j(pinv), pinv_q_sh=j(pinv_sh),
+        conv_w=j(conv_w), conv_rm_q=rm["q"], conv_rm_m32=rm["m32"],
+        conv_rm_c=rm["c"], conv_rm_ratio=rm["ratio"],
+        pconv_w=j(pconv_w), pconv_rm_q=rm5["q"], pconv_rm_m32=rm5["m32"],
+        pconv_rm_c=rm5["c"], pconv_rm_ratio=rm5["ratio"],
+        kql=kql, kp=kp, nd=nd, alpha=alpha, k_q_full=k_q_full,
+        r=t["r"], c=t["c"], t_is_one=(ns_int == 1))
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _smem_specs(n: int):
+    return [pl.BlockSpec(memory_space=pltpu.SMEM)] * n
+
+
+def _w_spec(shape_tail, index):
+    return pl.BlockSpec((1,) + shape_tail, index, memory_space=pltpu.VMEM)
+
+
+def _consts_pack(tabs):
+    return (tabs.kq, tabs.km32, tabs.kc, tabs.kratio)
+
+
+def _recomb(ps, tau, q_ref, m32_ref, c_ref, ratio_ref):
+    cv = [c_ref[tau, i] for i in range(kara.NSRC)]
+    rv = [ratio_ref[tau, i] for i in range(kara.NSRC)]
+    return kara.kara_recombine(ps, q_ref[tau], cv, rv, m32_ref[tau])
+
+
+def _fwd_core(x, tau, wr, wc, tw, twsh, q_ref, m32_ref, c_ref, ratio_ref):
+    s1 = _recomb(nf._kara_nn(wr, x), tau, q_ref, m32_ref, c_ref, ratio_ref)
+    s2 = mo.mul_mod_shoup(s1, tw, twsh, q_ref[tau])
+    return _recomb(nf._kara_nt(s2, wc), tau, q_ref, m32_ref, c_ref, ratio_ref)
+
+
+def _inv_core(y, tau, wci, wri, twi, twish, q_ref, m32_ref, c_ref, ratio_ref):
+    s2t = _recomb(nf._kara_nt(y, wci), tau, q_ref, m32_ref, c_ref, ratio_ref)
+    s1 = mo.mul_mod_shoup(s2t, twi, twish, q_ref[tau])
+    return _recomb(nf._kara_nn(wri, s1), tau, q_ref, m32_ref, c_ref, ratio_ref)
+
+
+def _tensor_intt(a0_4, a1_4, b0_4, b1_4, tabs: FusedKSTables):
+    """Fused tensor-product + K1 for mult+relin.
+
+    Per Q tower block: c2 = a1*b1 (VPA in VMEM), cross = (a0+a1)(b0+b1);
+    emits (c2 EVAL, cross EVAL, y = INTT(c2)*bhatinv COEFF). c0 = a0*b0 is
+    recomputed in the K6 epilogue (reference flow: rns-leveledshe.cpp
+    EvalMultCore + base-leveledshe.cpp relinearize)."""
+    kql = tabs.kql
+    r, c = tabs.r, tabs.c
+
+    def kern(q_ref, m32_ref, c_ref, ratio_ref, r32_ref, r32sh_ref,
+             sc_ref, scsh_ref, wci_ref, wri_ref, twi_ref, twish_ref,
+             a0_ref, a1_ref, b0_ref, b1_ref,
+             c2_ref, cr_ref, y_ref):
+        i = pl.program_id(0)
+        q = q_ref[i]
+        mm = lambda x, y: mo.mul_mod(x, y, q, r32_ref[i], r32sh_ref[i],
+                                     m32_ref[i])
+        a0, a1 = a0_ref[0], a1_ref[0]
+        b0, b1 = b0_ref[0], b1_ref[0]
+        c2 = mm(a1, b1)
+        cross = mm(mo.add_mod(a0, a1, q), mo.add_mod(b0, b1, q))
+        c2_ref[0] = c2
+        cr_ref[0] = cross
+        v = _inv_core(c2, i, wci_ref[0], wri_ref[0], twi_ref[0],
+                      twish_ref[0], q_ref, m32_ref, c_ref, ratio_ref)
+        y_ref[0] = mo.mul_mod_shoup(v, sc_ref[i], scsh_ref[i], q)
+
+    return pl.pallas_call(
+        kern,
+        grid=(kql,),
+        in_specs=_smem_specs(8) + [
+            _w_spec((kara.KARA_GROUPS, 2 * c, c), lambda i: (i, 0, 0, 0)),
+            _w_spec((kara.KARA_GROUPS, 2 * r, r), lambda i: (i, 0, 0, 0)),
+            _w_spec((r, c), lambda i: (i, 0, 0)),
+            _w_spec((r, c), lambda i: (i, 0, 0)),
+            _w_spec((r, c), lambda i: (i, 0, 0)),
+            _w_spec((r, c), lambda i: (i, 0, 0)),
+            _w_spec((r, c), lambda i: (i, 0, 0)),
+            _w_spec((r, c), lambda i: (i, 0, 0)),
+        ],
+        out_specs=(_w_spec((r, c), lambda i: (i, 0, 0)),
+                   _w_spec((r, c), lambda i: (i, 0, 0)),
+                   _w_spec((r, c), lambda i: (i, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((kql, r, c), jnp.uint32),
+                   jax.ShapeDtypeStruct((kql, r, c), jnp.uint32),
+                   jax.ShapeDtypeStruct((kql, r, c), jnp.uint32)),
+    )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio, tabs.r32_q, tabs.r32_q_sh,
+      tabs.bhatinv_q, tabs.bhatinv_q_sh,
+      tabs.wci, tabs.wri, tabs.twi, tabs.twi_sh,
+      a0_4, a1_4, b0_4, b1_4)
+
+
+def _intt_scale(x4, tabs: FusedKSTables, tower_offset: int, scale, scale_sh):
+    """INTT + per-tower constant multiply. x4 [..., k, R, C] (towers
+    starting at `tower_offset` in the QlP table set); an optional leading
+    element axis is batched through the grid (weights amortized: tower is
+    the outer grid dim). Returns the same shape, COEFF."""
+    r, c = tabs.r, tabs.c
+    lead = x4.shape[:-3]
+    rep = int(np.prod(lead)) if lead else 1
+    k = x4.shape[-3]
+    x4 = x4.reshape(rep, k, r, c)
+
+    def kern(q_ref, m32_ref, c_ref, ratio_ref, sc_ref, scsh_ref,
+             wci_ref, wri_ref, twi_ref, twish_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+        tau = i + tower_offset
+        v = _inv_core(x_ref[0, 0], tau, wci_ref[0], wri_ref[0],
+                      twi_ref[0], twish_ref[0],
+                      q_ref, m32_ref, c_ref, ratio_ref)
+        o_ref[0, 0] = mo.mul_mod_shoup(v, sc_ref[i], scsh_ref[i], q_ref[tau])
+
+    off = tower_offset
+    out = pl.pallas_call(
+        kern,
+        grid=(k, rep),
+        in_specs=_smem_specs(6) + [
+            _w_spec((kara.KARA_GROUPS, 2 * c, c),
+                    lambda i, e: (i + off, 0, 0, 0)),
+            _w_spec((kara.KARA_GROUPS, 2 * r, r),
+                    lambda i, e: (i + off, 0, 0, 0)),
+            _w_spec((r, c), lambda i, e: (i + off, 0, 0)),
+            _w_spec((r, c), lambda i, e: (i + off, 0, 0)),
+            pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rep, k, r, c), jnp.uint32),
+    )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio, scale, scale_sh,
+      tabs.wci, tabs.wri, tabs.twi, tabs.twi_sh, x4)
+    return out.reshape(lead + (k, r, c)) if lead else out[0]
+
+
+def _conv_digits(y_pad, tabs: FusedKSTables, tile_b: int = 4096):
+    """K2: y_pad [nd, alpha, N] COEFF -> conv [nd, kqlp, N] COEFF."""
+    nd, alpha, nb = y_pad.shape
+    kqlp = tabs.kql + tabs.kp
+    tb = min(tile_b, nb)
+
+    def kern(w_ref, rq_ref, rm32_ref, rc_ref, rratio_ref, x_ref, o_ref):
+        ps = nf._kara_nn(w_ref[0], x_ref[0])
+        cv = [rc_ref[i] for i in range(kara.NSRC)]
+        rv = [rratio_ref[i] for i in range(kara.NSRC)]
+        o_ref[0] = kara.kara_recombine(ps, rq_ref[...], cv, rv, rm32_ref[...])
+
+    return pl.pallas_call(
+        kern,
+        grid=(nd, nb // tb),
+        in_specs=[
+            _w_spec((kara.KARA_GROUPS, 2 * kqlp, alpha),
+             lambda j, b: (j, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rowmod q [kqlp, 1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # c [9, kqlp, 1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, alpha, tb), lambda j, b: (j, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, kqlp, tb), lambda j, b: (j, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nd, kqlp, nb), jnp.uint32),
+    )(tabs.conv_w, tabs.conv_rm_q, tabs.conv_rm_m32, tabs.conv_rm_c,
+      tabs.conv_rm_ratio, y_pad)
+
+
+def _conv_p_to_q(p_coeff, tabs: FusedKSTables, tile_b: int = 4096):
+    """K5: p_coeff [2, kp, N] -> [2, kql, N] (both elements batched)."""
+    ne, kp, nb = p_coeff.shape
+    kql = tabs.kql
+    tb = min(tile_b, nb)
+
+    def kern(w_ref, rq_ref, rm32_ref, rc_ref, rratio_ref, x_ref, o_ref):
+        ps = nf._kara_nn(w_ref[...], x_ref[0])
+        cv = [rc_ref[i] for i in range(kara.NSRC)]
+        rv = [rratio_ref[i] for i in range(kara.NSRC)]
+        o_ref[0] = kara.kara_recombine(ps, rq_ref[...], cv, rv,
+                                       rm32_ref[...])
+
+    return pl.pallas_call(
+        kern,
+        grid=(ne, nb // tb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp, tb), lambda e, b: (e, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, kql, tb), lambda e, b: (e, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ne, kql, nb), jnp.uint32),
+    )(tabs.pconv_w, tabs.pconv_rm_q, tabs.pconv_rm_m32, tabs.pconv_rm_c,
+      tabs.pconv_rm_ratio, p_coeff)
+
+
+def _ntt_keymul_acc(conv4, c2_4, bv4, bvsh4, av4, avsh4,
+                    tabs: FusedKSTables):
+    """K3: returns ext [2, kqlp, R, C] EVAL (elements stacked)."""
+    kql, kp, nd, alpha = tabs.kql, tabs.kp, tabs.nd, tabs.alpha
+    kqlp = kql + kp
+    r, c = tabs.r, tabs.c
+    kfull = tabs.k_q_full
+
+    def key_row(tau, j):
+        return (j, jnp.where(tau >= kql, tau + (kfull - kql), tau), 0, 0)
+
+    def kern(q_ref, m32_ref, c_ref, ratio_ref,
+             wr_ref, wc_ref, tw_ref, twsh_ref,
+             conv_ref, c2_ref, bv_ref, bvsh_ref, av_ref, avsh_ref,
+             o0_ref):
+        tau = pl.program_id(0)
+        j = pl.program_id(1)
+        end_j = jnp.minimum((j + 1) * alpha, kql)
+        own = jnp.logical_and(tau >= j * alpha, tau < end_j)
+        s = jax.lax.cond(
+            own,
+            lambda: c2_ref[0],
+            lambda: _fwd_core(conv_ref[0, 0], tau, wr_ref[0], wc_ref[0],
+                              tw_ref[0], twsh_ref[0],
+                              q_ref, m32_ref, c_ref, ratio_ref))
+        q = q_ref[tau]
+        t0 = mo.mul_mod_shoup(s, bv_ref[0, 0], bvsh_ref[0, 0], q)
+        t1 = mo.mul_mod_shoup(s, av_ref[0, 0], avsh_ref[0, 0], q)
+
+        @pl.when(j == 0)
+        def _():
+            o0_ref[0, 0] = t0
+            o0_ref[1, 0] = t1
+
+        @pl.when(j > 0)
+        def _():
+            o0_ref[0, 0] = mo.add_mod(o0_ref[0, 0], t0, q)
+            o0_ref[1, 0] = mo.add_mod(o0_ref[1, 0], t1, q)
+
+    ext = pl.pallas_call(
+        kern,
+        grid=(kqlp, nd),
+        in_specs=_smem_specs(4) + [
+            _w_spec((kara.KARA_GROUPS, 2 * r, r),
+                    lambda tau, j: (tau, 0, 0, 0)),
+            _w_spec((kara.KARA_GROUPS, 2 * c, c),
+                    lambda tau, j: (tau, 0, 0, 0)),
+            _w_spec((r, c), lambda tau, j: (tau, 0, 0)),
+            _w_spec((r, c), lambda tau, j: (tau, 0, 0)),
+            pl.BlockSpec((1, 1, r, c), lambda tau, j: (j, tau, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _w_spec((r, c),
+                    lambda tau, j: (jnp.minimum(tau, kql - 1), 0, 0)),
+            pl.BlockSpec((1, 1, r, c), key_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r, c), key_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r, c), key_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r, c), key_row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, 1, r, c), lambda tau, j: (0, tau, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, kqlp, r, c), jnp.uint32),
+    )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio,
+      tabs.wr, tabs.wc, tabs.tw, tabs.tw_sh,
+      conv4, c2_4, bv4, bvsh4, av4, avsh4)
+    return ext
+
+
+def _ntt_subscale(convq4, ext, tabs: FusedKSTables):
+    """K6, both elements: out[e] = (ext[e, :kql] - t*NTT(convq[e])) * P^{-1}.
+
+    convq4 [2, kql, R, C] COEFF; ext [2, kqlp, R, C] EVAL.
+    Grid is (tower, element) so NTT weights are amortized across the two
+    elements. Returns [2, kql, R, C] EVAL."""
+    kql = tabs.kql
+    r, c = tabs.r, tabs.c
+    t_is_one = tabs.t_is_one
+
+    def kern(q_ref, m32_ref, c_ref, ratio_ref, tq_ref, tqsh_ref,
+             pv_ref, pvsh_ref, wr_ref, wc_ref, tw_ref, twsh_ref,
+             x_ref, xq_ref, o_ref):
+        tau = pl.program_id(0)
+        q = q_ref[tau]
+        s = _fwd_core(x_ref[0, 0], tau, wr_ref[0], wc_ref[0], tw_ref[0],
+                      twsh_ref[0], q_ref, m32_ref, c_ref, ratio_ref)
+        if not t_is_one:
+            s = mo.mul_mod_shoup(s, tq_ref[tau], tqsh_ref[tau], q)
+        d = mo.sub_mod(xq_ref[0, 0], s, q)
+        o_ref[0, 0] = mo.mul_mod_shoup(d, pv_ref[tau], pvsh_ref[tau], q)
+
+    return pl.pallas_call(
+        kern,
+        grid=(kql, 2),
+        in_specs=_smem_specs(8) + [
+            _w_spec((kara.KARA_GROUPS, 2 * r, r), lambda i, e: (i, 0, 0, 0)),
+            _w_spec((kara.KARA_GROUPS, 2 * c, c), lambda i, e: (i, 0, 0, 0)),
+            _w_spec((r, c), lambda i, e: (i, 0, 0)),
+            _w_spec((r, c), lambda i, e: (i, 0, 0)),
+            pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, kql, r, c), jnp.uint32),
+    )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio,
+      tabs.t_modq, tabs.t_modq_sh, tabs.pinv_q, tabs.pinv_q_sh,
+      tabs.wr, tabs.wc, tabs.tw, tabs.tw_sh, convq4, ext)
+
+
+def _ntt_submul_final(convq4, ext, a0_4, b0_4, cross4, c2x4,
+                      tabs: FusedKSTables):
+    """K6 variant ending a full mult+relin: per (tower, element)
+        d   = (ext[e] - NTT(convq[e])) * P^{-1}          (ApproxModDown)
+        c0  = a0*b0
+        out = e==0 ?  c0 + d  :  (cross - c0 - c2) + d
+    Returns [2, kql, R, C] EVAL (the relinearized product ciphertext)."""
+    kql = tabs.kql
+    r, c = tabs.r, tabs.c
+
+    def kern(q_ref, m32_ref, c_ref, ratio_ref, r32_ref, r32sh_ref,
+             pv_ref, pvsh_ref, wr_ref, wc_ref, tw_ref, twsh_ref,
+             x_ref, xq_ref, a0_ref, b0_ref, cr_ref, c2_ref, o_ref):
+        tau = pl.program_id(0)
+        e = pl.program_id(1)
+        q = q_ref[tau]
+        s = _fwd_core(x_ref[0, 0], tau, wr_ref[0], wc_ref[0], tw_ref[0],
+                      twsh_ref[0], q_ref, m32_ref, c_ref, ratio_ref)
+        d = mo.sub_mod(xq_ref[0, 0], s, q)
+        d = mo.mul_mod_shoup(d, pv_ref[tau], pvsh_ref[tau], q)
+        c0 = mo.mul_mod(a0_ref[0], b0_ref[0], q, r32_ref[tau],
+                        r32sh_ref[tau], m32_ref[tau])
+        c1 = mo.sub_mod(mo.sub_mod(cr_ref[0], c0, q), c2_ref[0], q)
+        base = jnp.where(e == 0, c0, c1)
+        o_ref[0, 0] = mo.add_mod(base, d, q)
+
+    return pl.pallas_call(
+        kern,
+        grid=(kql, 2),
+        in_specs=_smem_specs(8) + [
+            _w_spec((kara.KARA_GROUPS, 2 * r, r), lambda i, e: (i, 0, 0, 0)),
+            _w_spec((kara.KARA_GROUPS, 2 * c, c), lambda i, e: (i, 0, 0, 0)),
+            _w_spec((r, c), lambda i, e: (i, 0, 0)),
+            _w_spec((r, c), lambda i, e: (i, 0, 0)),
+            pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _w_spec((r, c), lambda i, e: (i, 0, 0)),
+            _w_spec((r, c), lambda i, e: (i, 0, 0)),
+            _w_spec((r, c), lambda i, e: (i, 0, 0)),
+            _w_spec((r, c), lambda i, e: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, kql, r, c), jnp.uint32),
+    )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio, tabs.r32_q, tabs.r32_q_sh,
+      tabs.pinv_q, tabs.pinv_q_sh,
+      tabs.wr, tabs.wc, tabs.tw, tabs.tw_sh,
+      convq4, ext, a0_4, b0_4, cross4, c2x4)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def keyswitch_core_fused(c2: jnp.ndarray, bv, av, bv_sh, av_sh,
+                         tabs: FusedKSTables):
+    """Full fused KeySwitchCore: c2 [kql, N] EVAL -> (d0, d1) [kql, N] EVAL.
+
+    bv/av: [nd, k_q_full + kp, N] eval key halves; *_sh their Shoup
+    companions (precomputed at keygen).
+    """
+    kql, kp, nd, alpha = tabs.kql, tabs.kp, tabs.nd, tabs.alpha
+    r, c = tabs.r, tabs.c
+    n = r * c
+    kqlp = kql + kp
+
+    c2_4 = c2.reshape(kql, r, c)
+    # K1: INTT + digit-local lift inverse
+    y = _intt_scale(c2_4, tabs, 0, tabs.bhatinv_q, tabs.bhatinv_q_sh)
+    # K2: extend every digit to the full QlP basis
+    conv = _conv_digits(_pad_digits(y, tabs), tabs)     # [nd, kqlp, N]
+    conv4 = conv.reshape(nd, kqlp, r, c)
+    # K3: NTT + key inner product, accumulated over digits
+    kfull_p = bv.shape[1]
+    bv4 = bv.reshape(nd, kfull_p, r, c)
+    av4 = av.reshape(nd, kfull_p, r, c)
+    bvsh4 = bv_sh.reshape(nd, kfull_p, r, c)
+    avsh4 = av_sh.reshape(nd, kfull_p, r, c)
+    ext = _ntt_keymul_acc(conv4, c2_4, bv4, bvsh4, av4, avsh4, tabs)
+    # K4-K6: ApproxModDown, both elements batched through each kernel
+    pc = _intt_scale(ext[:, kql:], tabs, kql, tabs.pscale, tabs.pscale_sh)
+    convq = _conv_p_to_q(pc.reshape(2, kp, n), tabs)    # [2, kql, N]
+    out = _ntt_subscale(convq.reshape(2, kql, r, c), ext, tabs)
+    return out[0].reshape(kql, n), out[1].reshape(kql, n)
+
+
+def _pad_digits(y, tabs: FusedKSTables):
+    kql, nd, alpha = tabs.kql, tabs.nd, tabs.alpha
+    n = tabs.r * tabs.c
+    y2 = y.reshape(kql, n)
+    pad = nd * alpha - kql
+    if pad:
+        y2 = jnp.concatenate([y2, jnp.zeros((pad, n), jnp.uint32)], axis=0)
+    return y2.reshape(nd, alpha, n)
+
+
+def mult_relin_fused(a0, a1, b0, b1, bv, av, bv_sh, av_sh,
+                     tabs: FusedKSTables):
+    """Whole CKKS/BGV mult+relinearize as one kernel chain.
+
+    Inputs [kql, N] EVAL; returns (o0, o1) [kql, N] EVAL with
+    o = tensor(a, b) relinearized. The tensor product rides K1's prologue
+    and the final additions ride K6's epilogue, so no elementwise XLA
+    passes remain (reference flow: rns-leveledshe.cpp EvalMult +
+    keyswitch-hybrid.cpp KeySwitchCore)."""
+    kql, kp, nd = tabs.kql, tabs.kp, tabs.nd
+    r, c = tabs.r, tabs.c
+    n = r * c
+    kqlp = kql + kp
+    a0_4, a1_4 = a0.reshape(kql, r, c), a1.reshape(kql, r, c)
+    b0_4, b1_4 = b0.reshape(kql, r, c), b1.reshape(kql, r, c)
+    c2x, cross, y = _tensor_intt(a0_4, a1_4, b0_4, b1_4, tabs)
+    conv = _conv_digits(_pad_digits(y, tabs), tabs)
+    conv4 = conv.reshape(nd, kqlp, r, c)
+    kfull_p = bv.shape[1]
+    ext = _ntt_keymul_acc(conv4, c2x, bv.reshape(nd, kfull_p, r, c),
+                          bv_sh.reshape(nd, kfull_p, r, c),
+                          av.reshape(nd, kfull_p, r, c),
+                          av_sh.reshape(nd, kfull_p, r, c), tabs)
+    pc = _intt_scale(ext[:, kql:], tabs, kql, tabs.pscale, tabs.pscale_sh)
+    convq = _conv_p_to_q(pc.reshape(2, kp, n), tabs)
+    out = _ntt_submul_final(convq.reshape(2, kql, r, c), ext,
+                            a0_4, b0_4, cross, c2x, tabs)
+    return out[0].reshape(kql, n), out[1].reshape(kql, n)
