@@ -182,33 +182,29 @@ def bench_binfhe():
     import numpy as np
     from openfhe_tpu.binfhe.context import BinFHEContext
 
+    from openfhe_tpu.binfhe.constants import BINGATE
+
     cc = BinFHEContext()
     cc.GenerateBinFHEContext("STD128")
     sk = cc.KeyGen()
     cc.BTKeyGen(sk)
     batch = 64
-    bits_a = np.ones(batch, np.int64)
-    bits_b = np.ones(batch, np.int64)
-    cts_a = cc.EncryptBatch(sk, bits_a) if hasattr(cc, "EncryptBatch") else None
-    if cts_a is None:
-        ct_a = cc.Encrypt(sk, 1)
-        ct_b = cc.Encrypt(sk, 1)
-        t0 = time.perf_counter()
-        out = cc.EvalBinGate("AND", ct_a, ct_b)
-        dt = time.perf_counter() - t0
-        _emit("binfhe_ginx_std128_gate_ms", dt * 1e3, "ms")
-        return
-    cts_b = cc.EncryptBatch(sk, bits_b)
-    out = cc.EvalBinGateBatch("AND", cts_a, cts_b)
+    bits_a = np.arange(batch) % 2
+    bits_b = (np.arange(batch) // 2) % 2
+    # LWE ciphertexts carry leading batch dims through the whole gate path
+    ct_a = cc.Encrypt(sk, bits_a)
+    ct_b = cc.Encrypt(sk, bits_b)
+    out = cc.EvalBinGate(BINGATE.AND, ct_a, ct_b)
     jax.block_until_ready(out.a)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        out = cc.EvalBinGateBatch("AND", cts_a, cts_b)
+        out = cc.EvalBinGate(BINGATE.AND, ct_a, ct_b)
     jax.block_until_ready(out.a)
     dt = (time.perf_counter() - t0) / reps
     _emit("binfhe_ginx_std128_gates_per_s_batch64", batch / dt, "gates/s",
-          extra={"ms_per_batch": round(dt * 1e3, 2)})
+          extra={"ms_per_batch": round(dt * 1e3, 2),
+                 "single_gate_equivalent_ms": round(dt * 1e3 / batch, 3)})
 
 
 def bench_boot():
@@ -220,32 +216,41 @@ def bench_boot():
     from openfhe_tpu.pke.parameters import CCParams
 
     n = 1 << 12
+    slots = n // 2
+    # COMPOSITESCALING: ~2^50 effective scales from pairs of ~25-bit
+    # moduli — required for EvalMod precision on 32-bit lanes (reference
+    # analog: 59-bit scales on NATIVE_SIZE=64; composite paths in
+    # ckksrns-fhe.cpp:2290)
     p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=n,
-                 mult_depth=20, scaling_mod_size=26, first_mod_size=27,
-                 aux_mod_size=27,
+                 mult_depth=20, scaling_mod_size=50, first_mod_size=56,
+                 aux_mod_size=26,
                  security_level=SecurityLevel.HEStd_NotSet,
-                 scaling_technique=ScalingTechnique.FLEXIBLEAUTO)
+                 scaling_technique=ScalingTechnique.COMPOSITESCALINGAUTO)
     cc = GenCryptoContext(p, seed=7)
     cc.Enable(PKESchemeFeature.PKE | PKESchemeFeature.KEYSWITCH
               | PKESchemeFeature.LEVELEDSHE | PKESchemeFeature.ADVANCEDSHE
               | PKESchemeFeature.FHE)
-    cc.EvalBootstrapSetup(level_budget=(2, 2), slots=n // 2)
+    cc.EvalBootstrapSetup(level_budget=(2, 2), slots=slots)
     kp = cc.KeyGen()
     cc.EvalMultKeyGen(kp.secret_key)
-    cc.EvalBootstrapKeyGen(kp.secret_key, n // 2)
+    cc.EvalBootstrapKeyGen(kp.secret_key, slots)
     rng = np.random.default_rng(0)
-    z = rng.uniform(-0.5, 0.5, size=n // 2)
-    pt = cc.MakeCKKSPackedPlaintext(z, level=cc.mult_depth - 1)
+    z = rng.uniform(-0.5, 0.5, size=slots)
+    pt = cc.MakeCKKSPackedPlaintext(z, slots=slots)
     ct = cc.Encrypt(kp.public_key, pt)
-    out = cc.EvalBootstrap(ct)
+    ct = cc.LevelReduce(ct, cc.size_ql(0) - 6)   # deplete the level budget
+
+    # one jit around the whole bootstrap: ciphertext metadata is static
+    # pytree structure, so the full pipeline traces into a single program
+    boot = jax.jit(lambda c: cc.EvalBootstrap(c))
+    out = boot(ct)
     jax.block_until_ready(out.elements[0])
     t0 = time.perf_counter()
-    out = cc.EvalBootstrap(ct)
+    out = boot(ct)
     jax.block_until_ready(out.elements[0])
     dt = time.perf_counter() - t0
     dec = cc.Decrypt(kp.secret_key, out)
-    import numpy as np2
-    err = float(np.max(np.abs(np.asarray(dec.values[:n // 2]).real - z)))
+    err = float(np.max(np.abs(np.asarray(dec.values[:slots]).real - z)))
     prec_bits = -np.log2(err) if err > 0 else 40.0
     _emit("ckks_bootstrap_latency_s_N4096", dt, "s",
           extra={"precision_bits": round(prec_bits, 1)})

@@ -105,3 +105,80 @@ def test_ciphertext_metadata_map(ckks64):
     # metadata survives homomorphic ops through replace()
     ct4 = cc.EvalAdd(ct2, ct2)
     assert ct4.FindMetadataByKey("tag")
+
+
+def test_shard_map_mult_relin_matches_unsharded():
+    """Limb-axis shard_map keyswitch (parallel/sharded.py) must agree
+    bit-exactly with the single-device path for a full mult+relin+rescale
+    (VERDICT r1 item 4; reference analog: the OpenMP tower loops this
+    replaces, dcrtpoly-impl.h:239ff)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from openfhe_tpu.lattice.dcrt import Poly
+    from openfhe_tpu.lattice import rns_tools as rt
+    from openfhe_tpu.math import modops as mo
+    from openfhe_tpu.parallel import sharded as shd
+    from openfhe_tpu.pke.constants import (PKESchemeFeature,
+                                           ScalingTechnique, Scheme,
+                                           SecurityLevel)
+    from openfhe_tpu.pke.context import GenCryptoContext
+    from openfhe_tpu.pke.keyswitch import hybrid
+    from openfhe_tpu.pke.parameters import CCParams
+
+    p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=256, mult_depth=7,
+                 scaling_mod_size=26, first_mod_size=28, aux_mod_size=20,
+                 security_level=SecurityLevel.HEStd_NotSet,
+                 scaling_technique=ScalingTechnique.FIXEDMANUAL)
+    cc = GenCryptoContext(p, seed=3)
+    cc.Enable(PKESchemeFeature.PKE | PKESchemeFeature.KEYSWITCH
+              | PKESchemeFeature.LEVELEDSHE)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    z = np.linspace(-1, 1, cc.slots)
+    ct_a = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(z))
+    ct_b = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(z))
+
+    size = cc.size_ql(0)
+    tabs = shd.make_sharded_tables(cc, size)
+    limb = 2
+    assert (size % limb == 0) and ((size + tabs.kp) % limb == 0), \
+        (size, tabs.kp)
+    devices = np.array(jax.devices()[:limb]).reshape(1, limb)
+    mesh = Mesh(devices, ("dp", "limb"))
+
+    spec = P("limb", None)
+    f = shard_map(
+        lambda a0, a1, b0, b1, t: shd.mult_relin_local(a0, a1, b0, b1, t),
+        mesh=mesh, in_specs=(spec, spec, spec, spec, shd.table_specs(tabs)),
+        out_specs=(spec, spec), check_rep=False)
+
+    rtab = cc.rescale_tables(size)
+    basis_q = cc.basis_q
+
+    with mesh:
+        o0, o1 = jax.jit(f)(*ct_a.elements, *ct_b.elements, tabs)
+        r0 = rt.drop_last_and_scale(Poly(o0, 1), basis_q, rtab).data
+        r1 = rt.drop_last_and_scale(Poly(o1, 1), basis_q, rtab).data
+        jax.block_until_ready((r0, r1))
+
+    htabs = cc.hybrid_tables(size)
+    ek = cc.eval_mult_keys[kp.secret_key.key_tag]
+    basis = htabs.basis_ql
+    mm = lambda x, y: mo.mul_mod(x, y, basis.q, basis.r32, basis.r32_sh,
+                                 basis.m32)
+    a0, a1 = ct_a.elements
+    b0, b1 = ct_b.elements
+    c0 = mm(a0, b0)
+    c1 = mo.add_mod(mm(a0, b1), mm(a1, b0), basis.q)
+    c2 = mm(a1, b1)
+    d0, d1 = hybrid.keyswitch_core(c2, ek, htabs)
+    u0 = mo.add_mod(c0, d0, basis.q)
+    u1 = mo.add_mod(c1, d1, basis.q)
+    w0 = rt.drop_last_and_scale(Poly(u0, 1), basis_q, rtab).data
+    w1 = rt.drop_last_and_scale(Poly(u1, 1), basis_q, rtab).data
+
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(w0))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(w1))
