@@ -238,7 +238,7 @@ def bench_boot():
     z = rng.uniform(-0.5, 0.5, size=slots)
     pt = cc.MakeCKKSPackedPlaintext(z, slots=slots)
     ct = cc.Encrypt(kp.public_key, pt)
-    ct = cc.LevelReduce(ct, cc.size_ql(0) - 6)   # deplete the level budget
+    ct = cc.LevelReduce(ct, 18)   # deplete to 2 remaining levels
 
     # one jit around the whole bootstrap: ciphertext metadata is static
     # pytree structure, so the full pipeline traces into a single program

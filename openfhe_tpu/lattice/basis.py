@@ -113,9 +113,11 @@ def _shoup_table(c: np.ndarray, q: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _tower_tables(q: int, n: int) -> tuple:
-    """Numpy twiddle tables for one tower (cached host-side)."""
-    psi = nbtheory.root_of_unity(2 * n, q)
+def _tower_tables(q: int, n: int, root: int | None = None) -> tuple:
+    """Numpy twiddle tables for one tower (cached host-side). `root`
+    overrides the 2N-th root (golden-vector interop with the reference's
+    RootOfUnity choice)."""
+    psi = root if root is not None else nbtheory.root_of_unity(2 * n, q)
     ipsi = nbtheory.mod_inverse(psi, q)
     rev = _bitrev_indices(n)
     psi_pows = _power_table(psi, n, q)[rev].astype(np.uint32)
@@ -125,8 +127,11 @@ def _tower_tables(q: int, n: int) -> tuple:
             ipsi_pows, _shoup_table(ipsi_pows, q), ninv)
 
 
-def make_basis(moduli, ring_dim: int) -> Basis:
-    """Build a Basis for `moduli` (each = 1 mod 2*ring_dim) at `ring_dim`."""
+def make_basis(moduli, ring_dim: int, roots=None) -> Basis:
+    """Build a Basis for `moduli` (each = 1 mod 2*ring_dim) at `ring_dim`.
+
+    `roots` (optional, per-modulus) overrides the 2N-th primitive roots —
+    used by golden-vector tests to match the reference's RootOfUnity."""
     moduli = tuple(int(m) for m in moduli)
     k = len(moduli)
     n = ring_dim
@@ -145,7 +150,8 @@ def make_basis(moduli, ring_dim: int) -> Basis:
             raise ValueError(f"modulus {q} not NTT-friendly for N={n} or >= 2^31")
         r32, r32s, m32 = mod_constants(q)
         q_arr[i], r32_arr[i], r32sh_arr[i], m32_arr[i] = q, r32, r32s, m32
-        p, ps, ip, ips, ninv = _tower_tables(q, n)
+        p, ps, ip, ips, ninv = _tower_tables(
+            q, n, None if roots is None else int(roots[i]))
         psi[i], psi_sh[i], ipsi[i], ipsi_sh[i] = p, ps, ip, ips
         ninv_arr[i] = ninv
         ninvsh_arr[i] = (ninv << 32) // q

@@ -547,6 +547,39 @@ class CryptoContext:
             b = bring(b, a.level, a.noise_deg, a.scale)
         return a, b
 
+    def _eval_times_int(self, ct: Ciphertext, k: int) -> Ciphertext:
+        """Multiply every element by the integer scalar k (mod each q_i);
+        the BGV scale-factor correction multiply (reference
+        EvalMultCoreInPlace(ciphertext, scalar), bgvrns-leveledshe.cpp).
+        Uses the centered representative of k mod t to limit noise."""
+        t = self.plaintext_modulus
+        k = k % t
+        kc = k - t if k > t // 2 else k       # centered, |kc| <= t/2
+        basis = self.basis_at(ct.level)
+        vals = [kc % q for q in basis.moduli]
+        c, c_sh = rt._shoup_pair(vals, basis.moduli)
+        elems = tuple(mo.mul_mod_shoup(e, c, c_sh, basis.q)
+                      for e in ct.elements)
+        return ct.replace(elements=elems,
+                          scale_int=(ct.scale_int * k) % t)
+
+    def _adjust_pair_bgv(self, a: Ciphertext, b: Ciphertext):
+        """BGV AdjustLevelsAndDepth (bgvrns-leveledshe.cpp:84-225): align
+        tower counts by plain LevelReduce (valid in BGV: the invariant
+        value m + t*e is far below any Q_l), then equalize the integer
+        scale factors with a correction multiply. noise_deg carries no
+        scale meaning in BGV (unlike CKKS), only noise bookkeeping."""
+        if a.level < b.level:
+            a = self.LevelReduce(a, b.level - a.level)
+        elif b.level < a.level:
+            b = self.LevelReduce(b, a.level - b.level)
+        t = self.plaintext_modulus
+        if a.scale_int % t != b.scale_int % t:
+            ratio = (b.scale_int * pow(a.scale_int % t, -1, t)) % t
+            a = self._eval_times_int(a, ratio)
+        deg = max(a.noise_deg, b.noise_deg)
+        return a.replace(noise_deg=deg), b.replace(noise_deg=deg)
+
     def _adjust_pair(self, a: Ciphertext, b: Ciphertext):
         """AdjustLevelsAndDepth (base-leveledshe.cpp): equalize level and
         noise degree of two ciphertexts before +/-.
@@ -557,6 +590,16 @@ class CryptoContext:
         plaintext multiplication."""
         if self.scheme == Scheme.CKKSRNS_SCHEME and self._flexible():
             return self._adjust_flexible(a, b)
+        if self.scheme == Scheme.BGVRNS_SCHEME:
+            return self._adjust_pair_bgv(a, b)
+        if self.scheme == Scheme.BFVRNS_SCHEME:
+            # BFV is scale-invariant: only tower counts need aligning
+            while a.level < b.level:
+                a = self.LevelReduce(a, b.level - a.level)
+            while b.level < a.level:
+                b = self.LevelReduce(b, a.level - b.level)
+            deg = max(a.noise_deg, b.noise_deg)
+            return a.replace(noise_deg=deg), b.replace(noise_deg=deg)
         if a.noise_deg != b.noise_deg:
             if self._auto():
                 if a.noise_deg == 2 and a.level <= b.level:

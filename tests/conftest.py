@@ -19,3 +19,10 @@ os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite is compile-dominated (per-level
+# kernel variants); caching makes reruns and CI-style repeat runs fast
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
