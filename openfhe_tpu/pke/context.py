@@ -29,7 +29,8 @@ from openfhe_tpu.math import modops as mo
 from openfhe_tpu.ops.ntt import ntt_fwd, ntt_inv
 from openfhe_tpu.pke import parameters as prm
 from openfhe_tpu.pke.ciphertext import Ciphertext, Plaintext
-from openfhe_tpu.pke.constants import (KeySwitchTechnique, PKESchemeFeature,
+from openfhe_tpu.pke.constants import (EncryptionTechnique,
+                                       KeySwitchTechnique, PKESchemeFeature,
                                        ScalingTechnique, Scheme,
                                        SecurityLevel)
 from openfhe_tpu.pke.encoding import ckks_packed
@@ -397,6 +398,11 @@ class CryptoContext:
     # ------------------------------------------------------------------
 
     def Encrypt(self, key, plaintext: Plaintext) -> Ciphertext:
+        if (self.scheme == Scheme.BFVRNS_SCHEME
+                and self.params.encryption_technique
+                == EncryptionTechnique.EXTENDED):
+            from openfhe_tpu.pke.schemes import bfv
+            return bfv.encrypt_extended(self, key, plaintext)
         basis = self.basis_at(plaintext.level)
         ns = getattr(self, "noise_scale_int", 1)
         if isinstance(key, KeyPair):

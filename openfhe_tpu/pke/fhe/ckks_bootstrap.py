@@ -320,15 +320,35 @@ def mod_raise(cc, ct: Ciphertext) -> Ciphertext:
             r = jnp.where(u > half, mo.sub_mod(r, q0_mod_qi, full.q), r)
             return ntt_fwd(r, full)
     else:
+        from openfhe_tpu.lattice import rns_tools as rtool
         basis_d = cc.basis_q.slice(0, d)
         group = tuple(cc.moduli_q[:d])
         all_mods = tuple(cc.moduli_q)
+        # device-only centered lift: shift by B/2, EXACT CRT switch
+        # (HPS overflow count), unshift — jittable, unlike the former
+        # host big-int interpolation
+        key = ("modraise", group, all_mods)
+        cache = getattr(cc, "_modraise_cache", None)
+        if cache is None:
+            cache = cc._modraise_cache = {}
+        if key not in cache:
+            big_b = 1
+            for b in group:
+                big_b *= b
+            half = big_b // 2
+            cache[key] = (
+                rtool.make_switch_tables(group, all_mods),
+                rtool._shoup_pair([half % b for b in group], group),
+                rtool._shoup_pair([half % q for q in all_mods], all_mods),
+            )
+        sw_tab, (hin, _hin_sh), (hout, _hout_sh) = cache[key]
 
         def raise_one(elem):
-            u = np.asarray(ntt_inv(elem[..., :d, :], basis_d))
-            centered = crt.interpolate_centered(u, group)
-            res = crt.to_residues_host(centered, all_mods)
-            return ntt_fwd(jnp.asarray(res), full)
+            u = ntt_inv(elem[..., :d, :], basis_d)
+            u = mo.add_mod(u, hin, basis_d.q)
+            v = rtool.switch_crt_basis_exact(u, basis_d, full, sw_tab)
+            v = mo.sub_mod(v, hout, full.q)
+            return ntt_fwd(v, full)
 
     return ct.replace(elements=tuple(raise_one(c) for c in ct.elements),
                       level=0)

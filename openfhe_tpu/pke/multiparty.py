@@ -83,12 +83,45 @@ def multiparty_decrypt_main(cc, ct: Ciphertext, sk: PrivateKey):
 
 
 def _smudge(cc, basis):
-    """Smudging/flooding noise for partial decryptions. In
-    NOISE_FLOODING_MULTIPARTY mode uses large sigma
-    (docs/static_docs/Threshold_FHE.md)."""
+    """Smudging/flooding noise for partial decryptions
+    (docs/static_docs/Threshold_FHE.md:28-40).
+
+    NOISE_FLOODING_MULTIPARTY + BFV/BGV: the reference's extra-limb
+    mechanism — parameter generation added ~128 bits of modulus headroom
+    (see schemes/{bfv,bgv}.init_context), and the flooding mask is a
+    UNIFORM ring element b over Q' = Q/q_0, basis-extended exactly to the
+    full Q (x t for BGV so the mask vanishes mod t). |b| < Q/q_0 stays
+    below the correctness bound Delta/2 while statistically drowning the
+    share's noise. Other modes: fixed ~2^17-sigma Gaussian smudge
+    (FIXED_NOISE, ~20-bit like the reference's fixed mode) or fresh-noise
+    sigma for CKKS/INDCPA.
+    """
+    from openfhe_tpu.pke.constants import Scheme
     n = cc.ring_dim
     ns = getattr(cc, "noise_scale_int", 1)
     big = cc.params.multiparty_mode == MultipartyMode.NOISE_FLOODING_MULTIPARTY
+    if big and cc.scheme in (Scheme.BFVRNS_SCHEME, Scheme.BGVRNS_SCHEME):
+        from openfhe_tpu.lattice import rns_tools as rt
+        k = len(basis.moduli)
+        if k < 2:
+            raise ValueError("extra-limb flooding needs >= 2 towers")
+        sub = basis.slice(1, k)                    # Q' = Q / q_0
+        b = sampling.uniform_residues(cc.next_rng(), sub)   # EVAL-uniform
+        # exact extension Q' -> Q happens in COEFF
+        from openfhe_tpu.ops.ntt import ntt_inv
+        b_coeff = ntt_inv(b, sub)
+        key = ("flood_ext", tuple(sub.moduli), tuple(basis.moduli))
+        cache = getattr(cc, "_flood_cache", None)
+        if cache is None:
+            cache = cc._flood_cache = {}
+        if key not in cache:
+            cache[key] = rt.make_switch_tables(sub.moduli, basis.moduli)
+        ext = rt.switch_crt_basis_exact(b_coeff, sub, basis, cache[key])
+        if ns != 1:                                # BGV: mask = t * b
+            c, c_sh = rt._shoup_pair([ns % q for q in basis.moduli],
+                                     basis.moduli)
+            ext = mo.mul_mod_shoup(ext, c, c_sh, basis.q)
+        return ntt_fwd(ext, basis)
     sigma = float(1 << FLOODING_SIGMA_BITS) if big else 3.19
     e = sampling.discrete_gaussian(cc.next_rng(), (n,), sigma=sigma)
     if ns != 1:

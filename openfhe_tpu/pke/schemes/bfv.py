@@ -52,6 +52,12 @@ def init_context(cc) -> None:
     # noise-driven chain sizing (reference: bfvrns-parametergeneration.cpp)
     bits_per_mult = math.log2(t) + math.log2(n) + 14
     log_q = 34 + math.log2(t) + p.mult_depth * bits_per_mult
+    from openfhe_tpu.pke.constants import MultipartyMode
+    if p.multiparty_mode == MultipartyMode.NOISE_FLOODING_MULTIPARTY:
+        # extra-limb flooding headroom: the reference adds two 60-bit
+        # towers (~128 bits, Threshold_FHE.md:28-40); on 32-bit words we
+        # add the equivalent bit budget as extra towers
+        log_q += 128
     k_q = max(2, math.ceil(log_q / p.scaling_mod_size))
     moduli = prm._distinct_prime_chain(
         2 * n, [p.scaling_mod_size] * k_q)
@@ -177,6 +183,66 @@ def scale_plaintext_for_add(cc, pt_poly: jnp.ndarray) -> jnp.ndarray:
     """Delta * m (encryption-side scaling; reference STANDARD technique)."""
     c, c_sh = cc.c_delta_q
     return mo.mul_mod_shoup(pt_poly, c, c_sh, cc.basis_q.q)
+
+
+def encrypt_extended(cc, key, plaintext):
+    """EncryptionTechnique.EXTENDED (reference bfvrns-pke.cpp:53-150):
+    encrypt over the extended basis Qr = Q * r (one auxiliary prime,
+    reused from the hybrid-KS P chain so the existing keys cover it),
+    scale the message by floor(Qr/t), then divide-and-round the fresh
+    ciphertext by r — fresh noise collapses to modulus-switching noise.
+    """
+    from openfhe_tpu.lattice.dcrt import Poly, EVAL
+    from openfhe_tpu.pke.ciphertext import Ciphertext
+    from openfhe_tpu.pke.keys import KeyPair, PublicKey
+    from openfhe_tpu.pke.schemes import rns_pke
+
+    t = cc.plaintext_modulus
+    q_mods = tuple(int(q) for q in cc.moduli_q)
+    if not cc.moduli_p:
+        raise ValueError("EXTENDED encryption needs the auxiliary P chain")
+    r = int(cc.moduli_p[0])
+    qr_mods = q_mods + (r,)
+    basis_qr = cc.basis_q.concat(cc.basis_p.slice(0, 1))
+
+    # message residues over Qr (re-encode from the stored coefficients)
+    from openfhe_tpu.pke.encoding.packed import encode_packed, coef_encode
+    if plaintext.encoding == "PACKED":
+        coeffs = encode_packed(plaintext.values, t, cc.ring_dim)
+    else:
+        coeffs = coef_encode(plaintext.values, t, cc.ring_dim)
+    centered = np.where(coeffs > t // 2, coeffs - t, coeffs)
+    res = crt.to_residues_host(centered, qr_mods)
+    m_qr = ntt_fwd(jnp.asarray(res), basis_qr)
+
+    # Delta_r * m with Delta_r = floor(Q*r / t)
+    big_q = 1
+    for q in q_mods:
+        big_q *= q
+    delta_r = (big_q * r) // t
+    c, c_sh = rt._shoup_pair([delta_r % q for q in qr_mods], qr_mods)
+    m_scaled = mo.mul_mod_shoup(m_qr, c, c_sh, basis_qr.q)
+
+    if isinstance(key, KeyPair):
+        key = key.public_key
+    if isinstance(key, PublicKey):
+        c0, c1 = rns_pke.encrypt_zero_pk(cc.next_rng(), key, basis_qr,
+                                         cc.params.secret_key_dist)
+        tag = key.key_tag
+    else:
+        c0, c1 = rns_pke.encrypt_zero_sk(cc.next_rng(), key, basis_qr)
+        tag = key.key_tag
+    c0 = mo.add_mod(c0, m_scaled, basis_qr.q)
+
+    # divide-and-round by r back to Q (reference ScaleAndRoundPOverQ)
+    tab = rt.make_drop_scale_tables(qr_mods)
+    c0 = rt.drop_last_and_scale(Poly(c0, EVAL), basis_qr, tab).data
+    c1 = rt.drop_last_and_scale(Poly(c1, EVAL), basis_qr, tab).data
+    return Ciphertext(elements=(c0, c1), level=plaintext.level,
+                      noise_deg=plaintext.noise_deg, scale=plaintext.scale,
+                      slots=plaintext.slots, key_tag=tag,
+                      encoding=plaintext.encoding,
+                      scale_int=plaintext.scale_int)
 
 
 @jax.jit

