@@ -672,35 +672,40 @@ def _eval_bootstrap_two_rounds(cc, ct: Ciphertext, precision: int
     """
     if precision == 0:
         # the error magnitude e1*2^p must stay inside the sine's accurate
-        # range; at 28-bit scales e1 ~ 2^-5, so p=3 is the sweet spot
+        # range (|2^p * e1| < 1); callers usually pass the measured
+        # single-round precision
         precision = 3
     pow2 = 1 << precision
 
     if ct.noise_deg > 1:
         ct = cc.ModReduce(ct)
 
-    # round 1
-    ct1 = eval_bootstrap(cc, ct, 1)
+    # round 1 (reference ckksrns-fhe.cpp:465-512, steps numbered there)
+    ct1 = eval_bootstrap(cc, ct, 1)                    # step 3
     if ct1.noise_deg > 1:
         ct1 = cc.ModReduce(ct1)
 
     if ct.level <= ct1.level:
         # input had at least as many towers as one bootstrap provides;
-        # nothing to refine (reference ckksrns-fhe.cpp:477-479)
-        return ct1
+        # nothing to refine (reference :477-479)
+        return ct
 
-    # error extraction at the input's level: both operands are canonical
-    # there (anchored scf), so the subtraction needs no scale adjustment
-    ct1_down = cc.LevelReduce(ct1, ct.level - ct1.level)
-    e_up = cc.EvalSub(
-        mult_by_integer(cc, ct1_down, pow2).replace(scale=ct.scale),
-        mult_by_integer(cc, ct, pow2))
-    # e_up encrypts 2^p * e1 (the m parts cancel)
+    # steps 2/4: scale BOTH up by 2^p as raw integer multiplies (message
+    # scaled, ciphertext scale labels unchanged)
+    ct1_up = mult_by_integer(cc, ct1, pow2)
+    ct_up = mult_by_integer(cc, ct, pow2)
 
+    # steps 5-7: bring the bootstrapped result down to the input's level
+    # and subtract — EvalSub's flexible adjustment aligns the per-level
+    # scale factors, leaving 2^p * e1
+    ct1_down = cc.LevelReduce(ct1_up, ct.level - ct1_up.level)
+    e_up = cc.EvalSub(ct1_down, ct_up)
+
+    # step 8: bootstrap the error
     err_boot = eval_bootstrap(cc, e_up, 1)
     if err_boot.noise_deg > 1:
         err_boot = cc.ModReduce(err_boot)
 
-    # refine: out = ct1 - e1_estimate = ct1 - err_boot / 2^p
-    err_scaled = err_boot.replace(scale=err_boot.scale * pow2)
-    return cc.EvalSub(ct1, err_scaled)
+    # steps 9-10: refine and divide by 2^p with a proper scalar multiply
+    out = cc.EvalSub(ct1_up, err_boot)
+    return cc.EvalMult(out, 1.0 / pow2)

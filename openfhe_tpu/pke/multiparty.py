@@ -124,9 +124,15 @@ def _smudge(cc, basis):
         return ntt_fwd(ext, basis)
     sigma = float(1 << FLOODING_SIGMA_BITS) if big else 3.19
     e = sampling.discrete_gaussian(cc.next_rng(), (n,), sigma=sigma)
+    er = sampling.to_residues(e, basis)
     if ns != 1:
-        e = e * ns
-    return ntt_fwd(sampling.to_residues(e, basis), basis)
+        # multiply by t modularly AFTER residue lifting (t * e overflows
+        # int32 for large smudging sigma)
+        from openfhe_tpu.lattice import rns_tools as rt
+        c, c_sh = rt._shoup_pair([ns % q for q in basis.moduli],
+                                 basis.moduli)
+        er = mo.mul_mod_shoup(er, c, c_sh, basis.q)
+    return ntt_fwd(er, basis)
 
 
 def multiparty_decrypt_fusion(cc, partials, ct_meta: Ciphertext):

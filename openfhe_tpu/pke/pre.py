@@ -55,8 +55,14 @@ def re_encrypt(cc, ct: Ciphertext, re_key: EvalKey,
         flood = sampling.discrete_gaussian(
             cc.next_rng(), (n,), sigma=float(1 << NOISE_FLOODING_BITS))
         ns = getattr(cc, "noise_scale_int", 1)
+        ef = sampling.to_residues(flood, basis)
         if ns != 1:
-            flood = flood * ns
-        ef = ntt_fwd(sampling.to_residues(flood, basis), basis)
+            # multiply by t modularly AFTER residue lifting (t * flood
+            # overflows int32 for large flooding sigma)
+            from openfhe_tpu.lattice import rns_tools as rt
+            c, c_sh = rt._shoup_pair([ns % q for q in basis.moduli],
+                                     basis.moduli)
+            ef = mo.mul_mod_shoup(ef, c, c_sh, basis.q)
+        ef = ntt_fwd(ef, basis)
         c0 = mo.add_mod(c0, ef, basis.q)
     return ct.replace(elements=(c0, c1), key_tag=re_key.key_tag)
