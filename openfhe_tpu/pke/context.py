@@ -339,6 +339,23 @@ class CryptoContext:
                          noise_deg=scale_deg, scale=scale, slots=slots,
                          values=np.asarray(values))
 
+    def _cached_plaintext(self, values, level: int, slots: int,
+                          scale_deg: int = 1) -> Plaintext:
+        """Memoized CKKS encoding for long-lived coefficient arrays (the
+        bootstrap / scheme-switch diagonal tables): the reference encodes
+        these ONCE at setup (EvalCoeffsToSlotsPrecompute); re-encoding per
+        call costs a host NTT per diagonal per invocation. Keyed by array
+        identity — callers must pass arrays owned by a context-lifetime
+        precompute object."""
+        cache = getattr(self, "_pt_cache", None)
+        if cache is None:
+            cache = self._pt_cache = {}
+        key = (id(values), level, slots, scale_deg)
+        if key not in cache:
+            cache[key] = self.MakeCKKSPackedPlaintext(
+                values, scale_deg=scale_deg, level=level, slots=slots)
+        return cache[key]
+
     def MakePackedPlaintext(self, values, noise_deg: int = 1,
                             level: int = 0) -> Plaintext:
         """Integer SIMD packing (reference: MakePackedPlaintext)."""

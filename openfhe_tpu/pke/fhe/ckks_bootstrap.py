@@ -407,8 +407,7 @@ def eval_linear_transform(cc, ct: Ciphertext, diags: list, bstep: int,
             d = bstep * j + i
             if d >= n_diags:
                 break
-            pt = cc.MakeCKKSPackedPlaintext(
-                diags[d], scale_deg=1, level=ct.level, slots=pt_slots)
+            pt = cc._cached_plaintext(diags[d], ct.level, pt_slots)
             term = cc._eval_mult_plain(rots[i], pt)
             inner = term if inner is None else cc.EvalAdd(inner, term)
         if j:

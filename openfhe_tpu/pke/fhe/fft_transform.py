@@ -358,8 +358,7 @@ def eval_fft_stages(cc, ct, stages: list, pt_slots: int):
                 u = st.g * i + j
                 if u not in st.diags:
                     continue
-                pt = cc.MakeCKKSPackedPlaintext(
-                    st.diags[u], scale_deg=1, level=res.level, slots=pt_slots)
+                pt = cc._cached_plaintext(st.diags[u], res.level, pt_slots)
                 term = cc._eval_mult_plain(babies[j], pt)
                 inner = term if inner is None else cc.EvalAdd(inner, term)
             if st.giants[i]:
