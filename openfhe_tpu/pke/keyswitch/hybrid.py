@@ -83,10 +83,12 @@ def make_hybrid_tables(basis_q: Basis, basis_p: Basis, size_ql: int,
             start=start, end=end))
     from openfhe_tpu.pke.keyswitch import ks_fused
     fused = None
-    if ks_fused.supported(list(q_mods) + list(p_mods), basis_q.ring_dim):
+    if ks_fused.supported(list(basis_q.moduli) + list(p_mods),
+                          basis_q.ring_dim):
         fused = ks_fused.make_fused_ks_tables(
-            q_mods, p_mods, size_ql, num_parts_full, basis_q.ring_dim,
-            k_full, ns_int=ns_int)
+            basis_q.moduli, p_mods, size_ql, num_parts_full,
+            basis_q.ring_dim, k_full, ns_int=ns_int,
+            pad_to=ks_fused.bucket_size(size_ql, k_full))
     return HybridTables(
         parts=tuple(parts),
         moddown=rt.make_mod_down_tables(p_mods, q_mods, t=ns_int),

@@ -93,15 +93,16 @@ class FusedKSTables:
     pconv_rm_m32: jnp.ndarray
     pconv_rm_c: jnp.ndarray
     pconv_rm_ratio: jnp.ndarray
-    # statics
-    kql: int = struct.field(pytree_node=False)
-    kp: int = struct.field(pytree_node=False)
-    nd: int = struct.field(pytree_node=False)
-    alpha: int = struct.field(pytree_node=False)
-    k_q_full: int = struct.field(pytree_node=False)
-    r: int = struct.field(pytree_node=False)
-    c: int = struct.field(pytree_node=False)
-    t_is_one: bool = struct.field(pytree_node=False)
+    kql_real: jnp.ndarray = None   # int32 scalar: real tower count (<= kql)
+    # statics (kql is the BUCKET size when tables are padded)
+    kql: int = struct.field(pytree_node=False, default=0)
+    kp: int = struct.field(pytree_node=False, default=0)
+    nd: int = struct.field(pytree_node=False, default=0)
+    alpha: int = struct.field(pytree_node=False, default=0)
+    k_q_full: int = struct.field(pytree_node=False, default=0)
+    r: int = struct.field(pytree_node=False, default=0)
+    c: int = struct.field(pytree_node=False, default=0)
+    t_is_one: bool = struct.field(pytree_node=False, default=True)
 
 
 def _shoup_np(vals, mods):
@@ -118,31 +119,54 @@ def _qlp_ntt_tables(moduli_qlp: tuple, n: int):
     return t, kc
 
 
+def bucket_size(size_ql: int, k_q_full: int, step: int = 8) -> int:
+    """Shape bucket for a level's tower count (SURVEY 'hard parts' #2:
+    rescale drops towers, which would recompile every kernel per level).
+    Tables are built at the bucket size with zero padding; a depth-L chain
+    then compiles O(#buckets) kernel sets instead of O(L)."""
+    return min(k_q_full, -(-size_ql // step) * step)
+
+
 def make_fused_ks_tables(moduli_q, moduli_p, size_ql: int, num_parts: int,
                          ring_dim: int, k_q_full: int,
-                         ns_int: int = 1) -> FusedKSTables:
-    """Host precompute (numpy/Python ints) for one level."""
+                         ns_int: int = 1, pad_to: int | None = None
+                         ) -> FusedKSTables:
+    """Host precompute (numpy/Python ints) for one level.
+
+    pad_to (>= size_ql, a bucket size): table arrays get `pad_to` Q rows;
+    rows/cols beyond the level's real `size_ql` towers are ZERO (conv
+    weights, lift inverses, P^-1) or borrowed from the full chain's next
+    moduli (NTT tables — the chain-prefix property makes those identical
+    for every level in the bucket). Kernels then retrace per bucket, not
+    per level; the real tower count rides in `kql_real` (SMEM scalar).
+    """
+    kb = pad_to or size_ql
+    assert size_ql <= kb <= k_q_full
     mq = [int(x) for x in moduli_q[:size_ql]]
+    mq_pad = [int(x) for x in moduli_q[:kb]]       # NTT tables need real mods
     mp = [int(x) for x in moduli_p]
-    mqlp = mq + mp
+    mqlp = mq_pad + mp
     kql, kp = len(mq), len(mp)
     alpha = -(-k_q_full // num_parts)
     nd = min(-(-kql // alpha), num_parts)
     t, kc = _qlp_ntt_tables(tuple(mqlp), ring_dim)
 
-    # K1: per Q tower, digit-local CRT lift inverse
-    bhatinv = []
+    nd_b = num_parts if kb > kql else nd      # static digit count per bucket
+
+    # K1: per Q tower, digit-local CRT lift inverse (zero on pad rows)
+    bhatinv = [0] * kb
     for i, q in enumerate(mq):
         j = min(i // alpha, nd - 1)
         digits = mq[j * alpha:min((j + 1) * alpha, kql)]
         bj = 1
         for b in digits:
             bj *= b
-        bhatinv.append(pow((bj // q) % q, -1, q))
-    bh, bh_sh = _shoup_np(bhatinv, mq)
+        bhatinv[i] = pow((bj // q) % q, -1, q)
+    bh, bh_sh = _shoup_np(bhatinv, mq_pad)
 
-    # K2 conversion weights: W[j][row tau, col i] = [B_j / b_i]_{q_tau}
-    conv_w = np.zeros((nd, kara.KARA_GROUPS, 2 * (kql + kp), alpha),
+    # K2 conversion weights: W[j][row tau, col i] = [B_j / b_i]_{q_tau};
+    # own rows, pad rows, and digits beyond nd stay zero
+    conv_w = np.zeros((nd_b, kara.KARA_GROUPS, 2 * (kb + kp), alpha),
                       np.int8)
     for j in range(nd):
         start, end = j * alpha, min((j + 1) * alpha, kql)
@@ -150,10 +174,10 @@ def make_fused_ks_tables(moduli_q, moduli_p, size_ql: int, num_parts: int,
         bj = 1
         for b in digits:
             bj *= b
-        w = np.zeros((kql + kp, alpha), np.uint64)
+        w = np.zeros((kb + kp, alpha), np.uint64)
         for tau, qt in enumerate(mqlp):
-            if start <= tau < end:
-                continue                      # own rows stay zero
+            if start <= tau < end or (kql <= tau < kb):
+                continue                      # own + pad rows stay zero
             for i, b in enumerate(digits):
                 w[tau, i] = (bj // b) % qt
         conv_w[j] = kara.kara_w_stack_host(w)
@@ -167,17 +191,19 @@ def make_fused_ks_tables(moduli_q, moduli_p, size_ql: int, num_parts: int,
               for p in mp]
     ps, ps_sh = _shoup_np(pscale, mp)
 
-    # K5: W[row q_i, col p_j] = [P / p_j]_{q_i}
-    w5 = np.zeros((kql, kp), np.uint64)
+    # K5: W[row q_i, col p_j] = [P / p_j]_{q_i} (zero on pad rows)
+    w5 = np.zeros((kb, kp), np.uint64)
     for i, q in enumerate(mq):
         for jj, p in enumerate(mp):
             w5[i, jj] = (big_p // p) % q
     pconv_w = kara.kara_w_stack_host(w5)
-    rm5 = kara.make_kara_rowmod_consts(mq)
+    rm5 = kara.make_kara_rowmod_consts(mq_pad)
 
-    # K6 epilogue: t mod q and P^{-1} mod q
-    tq, tq_sh = _shoup_np([ns_int % q for q in mq], mq)
-    pinv, pinv_sh = _shoup_np([pow(big_p % q, -1, q) for q in mq], mq)
+    # K6 epilogue: t mod q and P^{-1} mod q (zero on pad rows)
+    tq, tq_sh = _shoup_np([ns_int % q for q in mq] + [0] * (kb - kql),
+                          mq_pad)
+    pinv, pinv_sh = _shoup_np(
+        [pow(big_p % q, -1, q) for q in mq] + [0] * (kb - kql), mq_pad)
     r32, r32_sh = _shoup_np([(1 << 32) % q for q in mqlp], mqlp)
 
     j = jnp.asarray
@@ -195,7 +221,8 @@ def make_fused_ks_tables(moduli_q, moduli_p, size_ql: int, num_parts: int,
         conv_rm_c=rm["c"], conv_rm_ratio=rm["ratio"],
         pconv_w=j(pconv_w), pconv_rm_q=rm5["q"], pconv_rm_m32=rm5["m32"],
         pconv_rm_c=rm5["c"], pconv_rm_ratio=rm5["ratio"],
-        kql=kql, kp=kp, nd=nd, alpha=alpha, k_q_full=k_q_full,
+        kql_real=jnp.asarray(kql, jnp.int32),
+        kql=kb, kp=kp, nd=nd_b, alpha=alpha, k_q_full=k_q_full,
         r=t["r"], c=t["c"], t_is_one=(ns_int == 1))
 
 
@@ -403,13 +430,15 @@ def _ntt_keymul_acc(conv4, c2_4, bv4, bvsh4, av4, avsh4,
     def key_row(tau, j):
         return (j, jnp.where(tau >= kql, tau + (kfull - kql), tau), 0, 0)
 
-    def kern(q_ref, m32_ref, c_ref, ratio_ref,
+    def kern(q_ref, m32_ref, c_ref, ratio_ref, kqlr_ref,
              wr_ref, wc_ref, tw_ref, twsh_ref,
              conv_ref, c2_ref, bv_ref, bvsh_ref, av_ref, avsh_ref,
              o0_ref):
         tau = pl.program_id(0)
         j = pl.program_id(1)
-        end_j = jnp.minimum((j + 1) * alpha, kql)
+        # real tower count is an SMEM scalar so every level in a shape
+        # bucket shares one compiled kernel
+        end_j = jnp.minimum((j + 1) * alpha, kqlr_ref[0])
         own = jnp.logical_and(tau >= j * alpha, tau < end_j)
         s = jax.lax.cond(
             own,
@@ -434,7 +463,7 @@ def _ntt_keymul_acc(conv4, c2_4, bv4, bvsh4, av4, avsh4,
     ext = pl.pallas_call(
         kern,
         grid=(kqlp, nd),
-        in_specs=_smem_specs(4) + [
+        in_specs=_smem_specs(5) + [
             _w_spec((kara.KARA_GROUPS, 2 * r, r),
                     lambda tau, j: (tau, 0, 0, 0)),
             _w_spec((kara.KARA_GROUPS, 2 * c, c),
@@ -454,6 +483,7 @@ def _ntt_keymul_acc(conv4, c2_4, bv4, bvsh4, av4, avsh4,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, kqlp, r, c), jnp.uint32),
     )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio,
+      tabs.kql_real.reshape(1),
       tabs.wr, tabs.wc, tabs.tw, tabs.tw_sh,
       conv4, c2_4, bv4, bvsh4, av4, avsh4)
     return ext
@@ -570,6 +600,10 @@ def keyswitch_core_fused(c2: jnp.ndarray, bv, av, bv_sh, av_sh,
     n = r * c
     kqlp = kql + kp
 
+    kreal = c2.shape[0]
+    if kreal < kql:                 # bucketed tables: zero-pad to bucket
+        c2 = jnp.concatenate(
+            [c2, jnp.zeros((kql - kreal, n), jnp.uint32)], axis=0)
     c2_4 = c2.reshape(kql, r, c)
     # K1: INTT + digit-local lift inverse
     y = _intt_scale(c2_4, tabs, 0, tabs.bhatinv_q, tabs.bhatinv_q_sh)
@@ -587,7 +621,8 @@ def keyswitch_core_fused(c2: jnp.ndarray, bv, av, bv_sh, av_sh,
     pc = _intt_scale(ext[:, kql:], tabs, kql, tabs.pscale, tabs.pscale_sh)
     convq = _conv_p_to_q(pc.reshape(2, kp, n), tabs)    # [2, kql, N]
     out = _ntt_subscale(convq.reshape(2, kql, r, c), ext, tabs)
-    return out[0].reshape(kql, n), out[1].reshape(kql, n)
+    return (out[0].reshape(kql, n)[:kreal],
+            out[1].reshape(kql, n)[:kreal])
 
 
 def _pad_digits(y, tabs: FusedKSTables):
@@ -613,6 +648,12 @@ def mult_relin_fused(a0, a1, b0, b1, bv, av, bv_sh, av_sh,
     r, c = tabs.r, tabs.c
     n = r * c
     kqlp = kql + kp
+    kreal = a0.shape[0]
+    if kreal < kql:                 # bucketed tables: zero-pad to bucket
+        def _pad(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((kql - kreal, n), jnp.uint32)], axis=0)
+        a0, a1, b0, b1 = _pad(a0), _pad(a1), _pad(b0), _pad(b1)
     a0_4, a1_4 = a0.reshape(kql, r, c), a1.reshape(kql, r, c)
     b0_4, b1_4 = b0.reshape(kql, r, c), b1.reshape(kql, r, c)
     c2x, cross, y = _tensor_intt(a0_4, a1_4, b0_4, b1_4, tabs)
@@ -627,4 +668,5 @@ def mult_relin_fused(a0, a1, b0, b1, bv, av, bv_sh, av_sh,
     convq = _conv_p_to_q(pc.reshape(2, kp, n), tabs)
     out = _ntt_submul_final(convq.reshape(2, kql, r, c), ext,
                             a0_4, b0_4, cross, c2x, tabs)
-    return out[0].reshape(kql, n), out[1].reshape(kql, n)
+    return (out[0].reshape(kql, n)[:kreal],
+            out[1].reshape(kql, n)[:kreal])
