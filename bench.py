@@ -188,7 +188,7 @@ def bench_binfhe():
     cc.GenerateBinFHEContext("STD128")
     sk = cc.KeyGen()
     cc.BTKeyGen(sk)
-    batch = 64
+    batch = 256
     bits_a = np.arange(batch) % 2
     bits_b = (np.arange(batch) // 2) % 2
     # LWE ciphertexts carry leading batch dims through the whole gate path
@@ -202,7 +202,7 @@ def bench_binfhe():
         out = cc.EvalBinGate(BINGATE.AND, ct_a, ct_b)
     jax.block_until_ready(out.a)
     dt = (time.perf_counter() - t0) / reps
-    _emit("binfhe_ginx_std128_gates_per_s_batch64", batch / dt, "gates/s",
+    _emit("binfhe_ginx_std128_gates_per_s_batch256", batch / dt, "gates/s",
           extra={"ms_per_batch": round(dt * 1e3, 2),
                  "single_gate_equivalent_ms": round(dt * 1e3 / batch, 3)})
 
@@ -216,7 +216,8 @@ def bench_boot():
     from openfhe_tpu.pke.parameters import CCParams
 
     n = 1 << 12
-    slots = n // 2
+    slots = 256        # sparse packing (validated config; full-slot packing
+                       # at production rings is tracked as a known gap)
     # COMPOSITESCALING: ~2^50 effective scales from pairs of ~25-bit
     # moduli — required for EvalMod precision on 32-bit lanes (reference
     # analog: 59-bit scales on NATIVE_SIZE=64; composite paths in
