@@ -1,6 +1,7 @@
 """Proxy re-encryption: re-target a ciphertext to another key.
 
-Port of /root/reference src/pke/examples/pre-buffer.cpp.
+Minimal PRE demo (see pre_buffer.py for the full port of
+/root/reference src/pke/examples/pre-buffer.cpp).
 """
 import os
 import sys

@@ -82,3 +82,9 @@ PseudoRandomNumberGenerator = _PRNGRegistry()
 
 def get_prng() -> Blake2Engine:
     return PseudoRandomNumberGenerator.get()
+
+
+def set_prng_factory(factory) -> None:
+    """Install an external PRNG engine class (reference InitPRNGEngine,
+    distributiongenerator.h). Pass None to restore the built-in engine."""
+    PseudoRandomNumberGenerator.set_factory(factory or Blake2Engine)

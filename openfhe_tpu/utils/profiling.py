@@ -28,6 +28,16 @@ def TOC(t0: float, result=None) -> float:
     return time.perf_counter() - t0
 
 
+def TOC_MS(t0: float, result=None) -> float:
+    """Elapsed milliseconds (reference TOC_MS, utils/debug.h)."""
+    return TOC(t0, result) * 1e3
+
+
+def TOC_US(t0: float, result=None) -> float:
+    """Elapsed microseconds (reference TOC_US, utils/debug.h)."""
+    return TOC(t0, result) * 1e6
+
+
 def profile_log(stage: str, seconds: float) -> None:
     if PROFILE:
         print(f"[openfhe-tpu] {stage}: {seconds * 1e3:.2f} ms", flush=True)
