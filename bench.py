@@ -241,14 +241,13 @@ def bench_boot():
     ct = cc.Encrypt(kp.public_key, pt)
     ct = cc.LevelReduce(ct, 18)   # deplete to 2 remaining levels
 
-    # NOTE: whole-pipeline jit exceeds the axon tunnel's compile-request
-    # size (keys embed as constants); per-op dispatch with cached diagonal
-    # plaintexts is the current path
-    boot = lambda c: cc.EvalBootstrap(c)
-    out = boot(ct)
+    # eager (per-op dispatch) pass: warms compiles + the diagonal-plaintext
+    # cache, and provides the baseline metric even if the whole-pipeline
+    # jit below cannot complete
+    out = cc.EvalBootstrap(ct)
     jax.block_until_ready(out.elements[0])
     t0 = time.perf_counter()
-    out = boot(ct)
+    out = cc.EvalBootstrap(ct)
     jax.block_until_ready(out.elements[0])
     dt = time.perf_counter() - t0
     dec = cc.Decrypt(kp.secret_key, out)
@@ -256,6 +255,38 @@ def bench_boot():
     prec_bits = -np.log2(err) if err > 0 else 40.0
     _emit("ckks_bootstrap_latency_s_N4096", dt, "s",
           extra={"precision_bits": round(prec_bits, 1)})
+
+    # whole-pipeline jit: one XLA program with keys threaded as arguments
+    # (cc.JitPipeline) — removes the per-op dispatch overhead that
+    # dominates the eager number; emitted as a separate metric so a
+    # failed/slow compile cannot cost the baseline one. A hard SIGALRM
+    # cap bounds the compile so it can never blow the bench budget.
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("whole-pipeline jit compile exceeded cap")
+
+    try:
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(900)
+        boot = cc.JitPipeline(lambda c: cc.EvalBootstrap(c))
+        out = boot(ct)
+        jax.block_until_ready(out.elements[0])
+        signal.alarm(0)
+        t0 = time.perf_counter()
+        out = boot(ct)
+        jax.block_until_ready(out.elements[0])
+        dt = time.perf_counter() - t0
+        dec = cc.Decrypt(kp.secret_key, out)
+        err = float(np.max(np.abs(np.asarray(dec.values[:slots]).real - z)))
+        prec_bits = -np.log2(err) if err > 0 else 40.0
+        _emit("ckks_bootstrap_jit_latency_s_N4096", dt, "s",
+              extra={"precision_bits": round(prec_bits, 1)})
+    except Exception as e:   # pragma: no cover - depends on compile service
+        print(f"# whole-pipeline jit unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    finally:
+        signal.alarm(0)
 
 
 def bench_bfvbgv():

@@ -526,7 +526,8 @@ class CryptoContext:
                           noise_deg=ct.noise_deg + 1,
                           scale=ct.scale * pt_scale)
 
-    def _adjust_flexible(self, a: Ciphertext, b: Ciphertext):
+    def _adjust_flexible(self, a: Ciphertext, b: Ciphertext,
+                         for_mult: bool = False):
         """FLEXIBLE-mode level/depth alignment with exact scale matching
         (reference AdjustLevelsAndDepthInPlace, ckksrns-leveledshe.cpp:603).
 
@@ -556,12 +557,22 @@ class CryptoContext:
             return self.ModReduce(x)
 
         if a.level == b.level and a.noise_deg == b.noise_deg:
-            if abs(a.scale / b.scale - 1.0) > 1e-10 and a.noise_deg == 1:
-                # residual drift (non-canonical inputs): raise both to a
-                # common deg-2 scale with x1 multiplications
+            if (not for_mult and a.noise_deg == 1
+                    and abs(a.scale / b.scale - 1.0) > 1e-10):
+                # residual drift (non-canonical inputs, e.g. a LevelReduce
+                # across composite groups): raise both to a common deg-2
+                # scale with x1 multiplications. On the MULT path this is
+                # never needed (scales multiply exactly) and would blow
+                # the product to deg 4. Only possible while deg-2 still
+                # fits under the remaining modulus — otherwise add as-is,
+                # matching reference FIXEDMANUAL drift semantics
+                # (ckksrns-leveledshe.cpp EvalAddCore).
                 t = self.scale_at(a.level) ** 2
-                a = self._scalar_mult_raw(a, 1.0, t / a.scale)
-                b = self._scalar_mult_raw(b, 1.0, t / b.scale)
+                logq_rem = sum(math.log2(float(q)) for q in
+                               self.moduli_q[:self.size_ql(a.level)])
+                if math.log2(t) + 12 < logq_rem:
+                    a = self._scalar_mult_raw(a, 1.0, t / a.scale)
+                    b = self._scalar_mult_raw(b, 1.0, t / b.scale)
             return a, b
         # order by (level, deg): bring the "behind" one forward
         if (a.level, a.noise_deg) < (b.level, b.noise_deg):
@@ -603,7 +614,8 @@ class CryptoContext:
         deg = max(a.noise_deg, b.noise_deg)
         return a.replace(noise_deg=deg), b.replace(noise_deg=deg)
 
-    def _adjust_pair(self, a: Ciphertext, b: Ciphertext):
+    def _adjust_pair(self, a: Ciphertext, b: Ciphertext,
+                     for_mult: bool = False):
         """AdjustLevelsAndDepth (base-leveledshe.cpp): equalize level and
         noise degree of two ciphertexts before +/-.
 
@@ -612,7 +624,7 @@ class CryptoContext:
         at the shallower level) or raise the deg-1 operand by a x1
         plaintext multiplication."""
         if self.scheme == Scheme.CKKSRNS_SCHEME and self._flexible():
-            return self._adjust_flexible(a, b)
+            return self._adjust_flexible(a, b, for_mult=for_mult)
         if self.scheme == Scheme.BGVRNS_SCHEME:
             return self._adjust_pair_bgv(a, b)
         if self.scheme == Scheme.BFVRNS_SCHEME:
@@ -778,7 +790,7 @@ class CryptoContext:
                 a = self.ModReduce(a)
             if b.noise_deg == 2:
                 b = self.ModReduce(b)
-        a, b = self._adjust_pair(a, b)
+        a, b = self._adjust_pair(a, b, for_mult=True)
         basis = self.basis_at(a.level)
         mm = lambda x, y: mo.mul_mod(x, y, basis.q, basis.r32, basis.r32_sh,
                                      basis.m32)
@@ -830,6 +842,43 @@ class CryptoContext:
                 level=ct.level, apply_factor=False)
         return self.MakePackedPlaintext(
             np.broadcast_to(np.asarray(values, np.int64), (self.ring_dim,)))
+
+    def JitPipeline(self, fn):
+        """Compile a multi-op pipeline (e.g. a whole EvalBootstrap) into
+        ONE XLA program.
+
+        Plain `jax.jit(fn)` would embed every eval key and cached
+        diagonal plaintext the pipeline touches as PROGRAM CONSTANTS
+        (hundreds of MB at production sizes — rejected by remote-compile
+        request limits and re-serialized per compile). This wrapper
+        threads the context's key maps and plaintext cache through as
+        jit ARGUMENTS instead, temporarily rebinding the context's
+        attributes to the traced values during tracing.
+
+        Usage: run `fn(ct)` once eagerly first (fills the plaintext
+        cache so no host encoding happens mid-trace), then
+        `jitted = cc.JitPipeline(fn); jitted(ct)`.
+        """
+        import functools
+
+        @functools.partial(jax.jit)
+        def inner(ct, state):
+            saved = (self.eval_mult_keys, self.eval_automorphism_keys,
+                     self.eval_sum_keys, getattr(self, "_pt_cache", {}))
+            (self.eval_mult_keys, self.eval_automorphism_keys,
+             self.eval_sum_keys, self._pt_cache) = state
+            try:
+                return fn(ct)
+            finally:
+                (self.eval_mult_keys, self.eval_automorphism_keys,
+                 self.eval_sum_keys, self._pt_cache) = saved
+
+        def run(ct):
+            state = (self.eval_mult_keys, self.eval_automorphism_keys,
+                     self.eval_sum_keys, getattr(self, "_pt_cache", {}))
+            return inner(ct, state)
+
+        return run
 
     def _eval_mult_plain(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
         if self.scheme == Scheme.CKKSRNS_SCHEME and self._auto() \

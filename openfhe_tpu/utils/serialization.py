@@ -97,6 +97,23 @@ def _obj_to_parts(obj):
             {"a": obj.a, "b": obj.b}
     if isinstance(obj, dict):  # eval-key maps (tag -> EvalKey / {g: EvalKey})
         raise TypeError("use serialize_eval_key_map for key maps")
+    if isinstance(obj, (np.ndarray, jnp.ndarray)):
+        # raw tensors (e.g. binfhe refresh keys, which are single device
+        # arrays by design — reference analog: RingGSWACCKey cereal blobs)
+        return "NdArray", {}, {"a": obj}
+    if isinstance(obj, (tuple, list)):
+        # fixed-shape tuples of tensors (e.g. AP/LMKCDEY key bundles)
+        metas, arrays = [], {}
+        for i, item in enumerate(obj):
+            if isinstance(item, (np.ndarray, jnp.ndarray)):
+                arrays[f"t{i}"] = item
+                metas.append(None)
+            elif isinstance(item, (int, float)):
+                metas.append(item)
+            else:
+                raise TypeError(f"cannot serialize tuple item {type(item)}")
+        return "TensorTuple", {"items": metas,
+                               "is_list": isinstance(obj, list)}, arrays
     raise TypeError(f"cannot serialize {type(obj)}")
 
 
@@ -134,6 +151,17 @@ def _parts_to_obj(header, arrays):
         return _lwe.LWESwitchingKey(a=arrays["a"], b=arrays["b"],
                                     mod_ks=m["mod_ks"],
                                     base_ks=m["base_ks"])
+    if t == "NdArray":
+        return arrays["a"]
+    if t == "TensorTuple":
+        out, ti = [], 0
+        for i, mv in enumerate(m["items"]):
+            if mv is None:
+                out.append(arrays[f"t{i}"])
+            else:
+                out.append(mv)
+            ti += 1
+        return out if m.get("is_list") else tuple(out)
     raise TypeError(f"unknown serialized type {t}")
 
 
