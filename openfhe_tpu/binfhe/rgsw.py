@@ -310,17 +310,25 @@ def keygen_dm(key, params: RGSWParams, sk_n_eval: jnp.ndarray,
     n = params.n_lwe
     s_host = np.asarray(s_lwe, np.int64)
     size = n * digits_r * base_r * params.digits_g2 * 2 * params.ring_dim * 4
-    if size > (6 << 30):
-        raise ValueError("AP key too large for this parameter set; "
-                         "use GINX")
-    rows = []
-    rk = 1
+    if size > (12 << 30):
+        # the key itself would not fit HBM — not a chunking problem
+        raise ValueError("AP key exceeds device memory for this parameter "
+                         "set; use GINX")
     ms = []
     for i in range(n):
         for k in range(digits_r):
             for j in range(base_r):
                 ms.append(int(s_host[i]) * j * (base_r ** k))
-    ek = keygen_rgsw_monomial(key, params, sk_n_eval, ms, std)
+    # chunked generation: keygen temporaries (a/e samples + their NTTs)
+    # are ~3x the key slice, so bound each slice to ~256 MB
+    per_row = params.digits_g2 * 2 * params.ring_dim * 4
+    chunk = max(1, (256 << 20) // per_row)
+    parts = []
+    for lo in range(0, len(ms), chunk):
+        key, sub = jax.random.split(key)
+        parts.append(keygen_rgsw_monomial(sub, params, sk_n_eval,
+                                          ms[lo:lo + chunk], std))
+    ek = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     return ek.reshape(n, digits_r, base_r, params.digits_g2, 2,
                       params.ring_dim), digits_r
 

@@ -35,21 +35,25 @@ def ntt_fwd(x: jnp.ndarray, b: Basis) -> jnp.ndarray:
     Dispatches to the fused single-kernel MXU path (ops/ntt_fused, moduli
     < ~2^27) or the 4-step multi-call path for large rings on TPU.
     """
-    from openfhe_tpu.ops import ntt4step, ntt_fused
+    from openfhe_tpu.ops import ntt4step, ntt_fused, ntt_small
     if ntt_fused.supported(b):
         return ntt_fused.ntt_fwd_fused(x, b)
     if ntt4step.supported(b):
         return ntt4step.ntt_fwd_4step(x, b)
+    if ntt_small.supported(b):
+        return ntt_small.ntt_fwd_mat(x, b)
     return _ntt_fwd_vpu(x, b)
 
 
 def ntt_inv(x: jnp.ndarray, b: Basis) -> jnp.ndarray:
     """Negacyclic inverse NTT: EVAL (bit-reversed) -> COEFF (natural)."""
-    from openfhe_tpu.ops import ntt4step, ntt_fused
+    from openfhe_tpu.ops import ntt4step, ntt_fused, ntt_small
     if ntt_fused.supported(b):
         return ntt_fused.ntt_inv_fused(x, b)
     if ntt4step.supported(b):
         return ntt4step.ntt_inv_4step(x, b)
+    if ntt_small.supported(b):
+        return ntt_small.ntt_inv_mat(x, b)
     return _ntt_inv_vpu(x, b)
 
 
