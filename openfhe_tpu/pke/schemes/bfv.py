@@ -44,7 +44,31 @@ def init_context(cc) -> None:
     p = cc.params
     t = p.plaintext_modulus
     if p.ring_dim == 0:
-        p.ring_dim = 16384
+        # smallest standardized N whose max logQP covers the noise-driven
+        # chain AT that N (the chain itself grows with log N — the same
+        # fixed-point iteration as bfvrns-parametergeneration.cpp:76ff)
+        from openfhe_tpu.pke.constants import SecurityLevel
+        if p.security_level == SecurityLevel.HEStd_NotSet:
+            p.ring_dim = 16384
+        else:
+            for cand in (1024, 2048, 4096, 8192, 16384, 32768):
+                if (t - 1) % (2 * cand):
+                    continue
+                bpm = math.log2(t) + math.log2(cand) + 14
+                lq = 34 + math.log2(t) + p.mult_depth * bpm
+                kq = max(2, math.ceil(lq / p.scaling_mod_size))
+                est = kq * p.scaling_mod_size
+                est += est / max(1, p.num_large_digits)   # + logP
+                try:
+                    prm.validate_security(p, cand, est)
+                except ValueError:
+                    continue
+                p.ring_dim = cand
+                break
+            else:
+                raise ValueError(
+                    "no standardized ring dimension accommodates this "
+                    "depth at the requested security level")
     n = cc.ring_dim = p.ring_dim
     if (t - 1) % (2 * n) != 0 or not nbtheory.is_prime(t):
         raise ValueError(

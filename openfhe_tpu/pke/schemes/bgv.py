@@ -35,7 +35,30 @@ def init_context(cc) -> None:
     p = cc.params
     t = p.plaintext_modulus
     if p.ring_dim == 0:
-        p.ring_dim = 8192
+        # smallest standardized N covering the per-level chain at that N
+        # (fixed-point selection, bgvrns-parametergeneration.cpp analog)
+        from openfhe_tpu.pke.constants import SecurityLevel
+        if p.security_level == SecurityLevel.HEStd_NotSet:
+            p.ring_dim = 8192
+        else:
+            for cand in (1024, 2048, 4096, 8192, 16384, 32768):
+                if (t - 1) % (2 * cand):
+                    continue
+                plb = math.log2(t) + math.log2(cand) + 16
+                lvl = p.mult_depth * max(
+                    1, math.ceil(plb / p.scaling_mod_size))
+                est = p.first_mod_size + lvl * p.scaling_mod_size
+                est += est / max(1, p.num_large_digits)   # + logP
+                try:
+                    prm.validate_security(p, cand, est)
+                except ValueError:
+                    continue
+                p.ring_dim = cand
+                break
+            else:
+                raise ValueError(
+                    "no standardized ring dimension accommodates this "
+                    "depth at the requested security level")
     n = cc.ring_dim = p.ring_dim
     if (t - 1) % (2 * n) != 0 or not nbtheory.is_prime(t):
         raise ValueError(
