@@ -216,8 +216,7 @@ def bench_boot():
     from openfhe_tpu.pke.parameters import CCParams
 
     n = 1 << 12
-    slots = 256        # sparse packing (validated config; full-slot packing
-                       # at production rings is tracked as a known gap)
+    slots = 256        # sparse packing; the full-slot metric follows below
     # COMPOSITESCALING: ~2^50 effective scales from pairs of ~25-bit
     # moduli — required for EvalMod precision on 32-bit lanes (reference
     # analog: 59-bit scales on NATIVE_SIZE=64; composite paths in
@@ -287,6 +286,34 @@ def bench_boot():
               file=sys.stderr)
     finally:
         signal.alarm(0)
+
+    # full-slot packing at the same ring (validated: composite scaling
+    # carries the EvalMod noise floor; single-round ~10-12 bits, 2-round
+    # Meta-BTS doubles it — tests/test_composite_scaling.py)
+    try:
+        slots_f = n // 2
+        cc.EvalBootstrapSetup(level_budget=(2, 2), slots=slots_f)
+        cc.EvalBootstrapKeyGen(kp.secret_key, slots=slots_f)
+        zf = rng.uniform(-0.5, 0.5, size=slots_f)
+        ctf = cc.Encrypt(kp.public_key,
+                         cc.MakeCKKSPackedPlaintext(zf, slots=slots_f))
+        ctf = cc.LevelReduce(ctf, 18)
+        out = cc.EvalBootstrap(ctf)
+        jax.block_until_ready(out.elements[0])
+        t0 = time.perf_counter()
+        out = cc.EvalBootstrap(ctf)
+        jax.block_until_ready(out.elements[0])
+        dt = time.perf_counter() - t0
+        dec = cc.Decrypt(kp.secret_key, out)
+        err = float(np.max(np.abs(
+            np.asarray(dec.values[:slots_f]).real - zf)))
+        prec_bits = -np.log2(err) if err > 0 else 40.0
+        _emit("ckks_bootstrap_fullslot_latency_s_N4096", dt, "s",
+              extra={"precision_bits": round(prec_bits, 1),
+                     "slots": slots_f})
+    except Exception as e:   # pragma: no cover
+        print(f"# full-slot bootstrap bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
 
 def bench_bfvbgv():
