@@ -206,6 +206,48 @@ def bench_binfhe():
           extra={"ms_per_batch": round(dt * 1e3, 2),
                  "single_gate_equivalent_ms": round(dt * 1e3 / batch, 3)})
 
+    # larger batches (the matmul-NTT blind rotation removed the VPU-stage
+    # intermediates that used to OOM at batch 1024)
+    for batch2 in (1024,):
+        try:
+            ba = np.arange(batch2) % 2
+            bb = (np.arange(batch2) // 2) % 2
+            ca = cc.Encrypt(sk, ba)
+            cb2 = cc.Encrypt(sk, bb)
+            out = cc.EvalBinGate(BINGATE.AND, ca, cb2)
+            jax.block_until_ready(out.a)
+            t0 = time.perf_counter()
+            out = cc.EvalBinGate(BINGATE.AND, ca, cb2)
+            jax.block_until_ready(out.a)
+            dt = time.perf_counter() - t0
+            _emit(f"binfhe_ginx_std128_gates_per_s_batch{batch2}",
+                  batch2 / dt, "gates/s",
+                  extra={"ms_per_batch": round(dt * 1e3, 2)})
+        except Exception as e:   # pragma: no cover - memory dependent
+            print(f"# batch {batch2} gate bench failed: "
+                  f"{type(e).__name__}", file=sys.stderr)
+
+    # LMKCDEY single-gate latency (host-scheduled accumulator: the
+    # automorphism schedule depends on the public a vector, so gates do
+    # not batch — reference binfhe-lmkcdey.cpp measures the same shape)
+    try:
+        cc2 = BinFHEContext()
+        cc2.GenerateBinFHEContext("STD128_LMKCDEY", method="LMKCDEY")
+        sk2 = cc2.KeyGen()
+        cc2.BTKeyGen(sk2)
+        c1 = cc2.Encrypt(sk2, 1)
+        c0 = cc2.Encrypt(sk2, 0)
+        out = cc2.EvalBinGate(BINGATE.AND, c1, c0)
+        jax.block_until_ready(out.a)
+        t0 = time.perf_counter()
+        out = cc2.EvalBinGate(BINGATE.AND, c1, c0)
+        jax.block_until_ready(out.a)
+        dt = time.perf_counter() - t0
+        _emit("binfhe_lmkcdey_std128_gate_latency_ms", dt * 1e3, "ms")
+    except Exception as e:   # pragma: no cover
+        print(f"# lmkcdey bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
 
 def bench_boot():
     import numpy as np

@@ -83,6 +83,21 @@ MATRIX = [
      KeySwitchTechnique.HYBRID, SecretKeyDist.GAUSSIAN),
     (Scheme.BFVRNS_SCHEME, ScalingTechnique.FIXEDMANUAL,
      KeySwitchTechnique.BV, SecretKeyDist.SPARSE_TERNARY),
+    # additional dist/keyswitch coverage (reference table rows)
+    (Scheme.BGVRNS_SCHEME, ScalingTechnique.FIXEDMANUAL,
+     KeySwitchTechnique.HYBRID, SecretKeyDist.SPARSE_TERNARY),
+    (Scheme.BGVRNS_SCHEME, ScalingTechnique.FIXEDAUTO,
+     KeySwitchTechnique.HYBRID, SecretKeyDist.GAUSSIAN),
+    (Scheme.BGVRNS_SCHEME, ScalingTechnique.FLEXIBLEAUTOEXT,
+     KeySwitchTechnique.BV, SecretKeyDist.SPARSE_TERNARY),
+    (Scheme.CKKSRNS_SCHEME, ScalingTechnique.FIXEDMANUAL,
+     KeySwitchTechnique.HYBRID, SecretKeyDist.SPARSE_TERNARY),
+    (Scheme.CKKSRNS_SCHEME, ScalingTechnique.FIXEDAUTO,
+     KeySwitchTechnique.HYBRID, SecretKeyDist.GAUSSIAN),
+    (Scheme.CKKSRNS_SCHEME, ScalingTechnique.COMPOSITESCALINGAUTO,
+     KeySwitchTechnique.BV, SecretKeyDist.UNIFORM_TERNARY),
+    (Scheme.CKKSRNS_SCHEME, ScalingTechnique.COMPOSITESCALINGAUTO,
+     KeySwitchTechnique.HYBRID, SecretKeyDist.SPARSE_TERNARY),
 ]
 
 
@@ -142,3 +157,41 @@ def test_matrix_roundtrip(scheme, scal, ks, dist):
         rot = cc.EvalRotate(ct_v, 1)
         decr = np.asarray(cc.Decrypt(kp.secret_key, rot).values[:15])
         np.testing.assert_array_equal(decr % t, v[1:] % t)
+
+
+# ---------------------------------------------------------------------------
+# BFV multiplication-technique x encryption-technique sub-matrix
+# (reference: UnitTestBFVrns* TEST_P tables over BEHZ/HPS/HPSPOVERQ/
+#  HPSPOVERQLEVELED x STANDARD/EXTENDED)
+# ---------------------------------------------------------------------------
+from openfhe_tpu.pke.constants import (EncryptionTechnique,
+                                       MultiplicationTechnique)
+
+BFV_TECH = [(m, e)
+            for m in (MultiplicationTechnique.BEHZ,
+                      MultiplicationTechnique.HPS,
+                      MultiplicationTechnique.HPSPOVERQ,
+                      MultiplicationTechnique.HPSPOVERQLEVELED)
+            for e in (EncryptionTechnique.STANDARD,
+                      EncryptionTechnique.EXTENDED)]
+
+
+@pytest.mark.parametrize("mult_tech,enc_tech", BFV_TECH,
+                         ids=[f"{m.name}-{e.name}" for m, e in BFV_TECH])
+def test_bfv_technique_matrix(mult_tech, enc_tech):
+    t = 12289
+    cc = GenCryptoContext(CCParams(
+        scheme=Scheme.BFVRNS_SCHEME, ring_dim=512, plaintext_modulus=t,
+        mult_depth=2, security_level=SecurityLevel.HEStd_NotSet,
+        multiplication_technique=mult_tech,
+        encryption_technique=enc_tech), seed=11)
+    cc.Enable(FEATS)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    v = np.arange(16, dtype=np.int64) % 7
+    w = (np.arange(16, dtype=np.int64) * 3) % 5
+    ct_v = cc.Encrypt(kp.public_key, cc.MakePackedPlaintext(v))
+    ct_w = cc.Encrypt(kp.public_key, cc.MakePackedPlaintext(w))
+    ct = cc.EvalMult(cc.EvalMult(ct_v, ct_w), ct_v)
+    got = np.asarray(cc.Decrypt(kp.secret_key, ct).values[:16]) % t
+    np.testing.assert_array_equal(got, (v * w * v) % t)
