@@ -73,3 +73,71 @@ def test_packed_encoding_matches_reference_up_to_root(vectors):
             if found:
                 break
         assert found is not None, f"no orbit alignment found (n={n})"
+
+
+# ---------------------------------------------------------------------------
+# Decrypt transcripts: reference secret key + ciphertext (COEFF residues)
+# + decrypted CoefPacked plaintext (tests/vectors/decrypt_transcripts.json,
+# dumped by .refbuild/dump_vectors2.cpp). Verifies our CRT reconstruction
+# and the BFV round(t/Q * .) / BGV centered-mod-t decrypt math EXACTLY
+# against the reference's own arithmetic — no RNG or root dependence
+# (CoefPacked slots ARE coefficients).
+# ---------------------------------------------------------------------------
+
+TRANS = os.path.join(os.path.dirname(__file__), "vectors",
+                     "decrypt_transcripts.json")
+
+
+def _negacyclic_mul_crt(a_tw, b_tw, moduli):
+    """Per-tower negacyclic polymul via host big-int convolution."""
+    n = len(a_tw[0])
+    out = []
+    for a, b, q in zip(a_tw, b_tw, moduli):
+        conv = np.convolve(np.array(a, object), np.array(b, object))
+        lo, hi = conv[:n], conv[n:]
+        full = lo.copy()
+        full[:len(hi)] -= hi                     # X^N = -1
+        out.append([int(x) % q for x in full])
+    return out
+
+
+@pytest.fixture(scope="module")
+def transcripts():
+    with open(TRANS) as f:
+        return json.load(f)
+
+
+def _cvs_coeffs(v):
+    """Reconstruct centered c0 + c1*s over the big modulus Q."""
+    moduli = [int(q) for q in v["moduli"]]
+    n = v["n"]
+    big_q = 1
+    for q in moduli:
+        big_q *= q
+    c1s = _negacyclic_mul_crt(v["c1"], v["sk"], moduli)
+    res = np.array([[(int(v["c0"][t][i]) + int(c1s[t][i])) % moduli[t]
+                     for i in range(n)] for t in range(len(moduli))],
+                   dtype=object)
+    from openfhe_tpu.math import crt
+    centered = crt.interpolate_centered(res, moduli)
+    return [int(x) for x in centered], big_q
+
+
+def test_bfv_decrypt_transcript(transcripts):
+    v = transcripts["bfv_decrypt"]
+    t = v["t"]
+    vals, big_q = _cvs_coeffs(v)
+    m = [((2 * t * abs(x) + big_q) // (2 * big_q)) % t for x in vals]
+    m = [(t - mi) % t if x < 0 else mi for x, mi in zip(vals, m)]
+    want = v["plaintext"]
+    got = m[:len(want)]
+    assert got == want, f"first mismatches: {[(a, b) for a, b in zip(got, want) if a != b][:4]}"
+
+
+def test_bgv_decrypt_transcript(transcripts):
+    v = transcripts["bgv_decrypt"]
+    t = v["t"]
+    vals, _ = _cvs_coeffs(v)
+    m = [x % t for x in vals]
+    want = v["plaintext"]
+    assert m[:len(want)] == want
