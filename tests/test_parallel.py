@@ -182,3 +182,31 @@ def test_shard_map_mult_relin_matches_unsharded():
 
     np.testing.assert_array_equal(np.asarray(r0), np.asarray(w0))
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(w1))
+
+
+def test_staged_ntt_sharded_matches_unsharded():
+    """Cross-chip staged 4-step NTT (parallel/ntt_sharded): bit-exact vs
+    the single-device VPU transform on the virtual 8-device mesh
+    (SURVEY §7.11 staged cross-chip NTT)."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from openfhe_tpu.lattice.basis import make_basis
+    from openfhe_tpu.math.nbtheory import first_prime, next_prime
+    from openfhe_tpu.ops.ntt import _ntt_fwd_vpu, _ntt_inv_vpu
+    from openfhe_tpu.parallel import ntt_sharded as ns
+
+    n = 1 << 12                       # R = C = 64, divisible by 8 devices
+    q0 = first_prime(26, 2 * n)
+    q1 = next_prime(q0, 2 * n)
+    b = make_basis([q0, q1], n)
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("limb",))
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, min(q0, q1), (2, n)).astype(np.uint32)
+
+    got = np.asarray(ns.ntt_fwd_sharded(x, b, mesh))
+    want = np.asarray(_ntt_fwd_vpu(x, b))
+    np.testing.assert_array_equal(got, want)
+
+    back = np.asarray(ns.ntt_inv_sharded(want, b, mesh))
+    np.testing.assert_array_equal(back, x)
+    np.testing.assert_array_equal(back, np.asarray(_ntt_inv_vpu(want, b)))
