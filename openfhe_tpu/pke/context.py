@@ -197,6 +197,71 @@ class CryptoContext:
     def GetCyclotomicOrder(self) -> int:
         return 2 * self.ring_dim
 
+    # -- API-parity getters (reference cryptocontext.h accessor surface;
+    # our parameters/tables are plain attributes, these re-export them
+    # under the reference names) ----------------------------------------
+    def GetCryptoParameters(self):
+        return self.params
+
+    def GetEncodingParams(self):
+        return self.params
+
+    def GetElementParams(self):
+        return self.basis_q
+
+    def GetModulus(self) -> int:
+        q = 1
+        for m in self.moduli_q:
+            q *= int(m)
+        return q
+
+    def GetRootOfUnity(self) -> int:
+        """2N-th root of the first tower (reference GetRootOfUnity).
+        psi_br[t, j] holds psi^brv(j), so index brv^-1(1) recovers psi."""
+        from openfhe_tpu.lattice.basis import _bitrev_indices
+        return int(np.asarray(self.basis_q.psi_br)[
+            0, _bitrev_indices(self.ring_dim)[1]])
+
+    def GetScheme(self):
+        return self.scheme
+
+    def GetKeyGenLevel(self) -> int:
+        return getattr(self, "_keygen_level", 0)
+
+    def SetKeyGenLevel(self, level: int) -> None:
+        self._keygen_level = level
+
+    def SetCKKSBootCorrectionFactor(self, factor: int) -> None:
+        """Adjust the bootstrap correction factor before Setup
+        (reference SetCKKSBootCorrectionFactor)."""
+        self._boot_correction_override = int(factor)
+
+    # eval-key map (de)serialization under the reference's method names
+    def SerializeEvalMultKey(self, sertype=None):
+        from openfhe_tpu.utils import serialization as ser
+        return ser.serialize_eval_mult_keys(self)
+
+    def DeserializeEvalMultKey(self, data) -> None:
+        from openfhe_tpu.utils import serialization as ser
+        ser.deserialize_eval_mult_keys(self, data)
+
+    def SerializeEvalAutomorphismKey(self, sertype=None):
+        from openfhe_tpu.utils import serialization as ser
+        return ser.serialize_eval_automorphism_keys(self)
+
+    def DeserializeEvalAutomorphismKey(self, data) -> None:
+        from openfhe_tpu.utils import serialization as ser
+        ser.deserialize_eval_automorphism_keys(self, data)
+
+    SerializeEvalSumKey = SerializeEvalAutomorphismKey
+    DeserializeEvalSumKey = DeserializeEvalAutomorphismKey
+
+    def GetAllEvalMultKeys(self):
+        return self.eval_mult_keys
+
+    def GetEvalMultKeyVector(self, key_tag: str):
+        return [self.eval_mult_keys[key_tag]]
+
     def size_ql(self, level: int) -> int:
         return len(self.moduli_q) - getattr(self, "comp_deg", 1) * level
 
@@ -935,6 +1000,7 @@ class CryptoContext:
 
     Rescale = ModReduce
     RescaleInPlace = ModReduce
+    ModReduceInPlace = ModReduce
 
     def LevelReduce(self, ct: Ciphertext, levels: int = 1) -> Ciphertext:
         """Drop towers without scaling (reference LevelReduce)."""
@@ -942,6 +1008,8 @@ class CryptoContext:
         return ct.replace(
             elements=tuple(c[..., :size, :] for c in ct.elements),
             level=ct.level + levels)
+
+    LevelReduceInPlace = LevelReduce
 
     def Compress(self, ct: Ciphertext, towers_left: int = 1) -> Ciphertext:
         """Reduce to `towers_left` towers before transmission
@@ -1341,6 +1409,8 @@ class CryptoContext:
     def EvalBootstrapSetup(self, level_budget=(1, 1), dim1=(0, 0),
                            slots: int = 0, correction_factor: int = 0):
         from openfhe_tpu.pke.fhe import ckks_bootstrap as bt
+        if correction_factor == 0:
+            correction_factor = getattr(self, "_boot_correction_override", 0)
         self._boot_setup_args = (level_budget, dim1, correction_factor)
         bt.eval_bootstrap_setup(self, level_budget, dim1, slots,
                                 correction_factor)

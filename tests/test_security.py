@@ -136,3 +136,35 @@ def test_device_ternary_uniform_and_sparse():
                                     hamming_weight=h))
     assert int(np.sum(s != 0)) == h
     assert set(np.unique(s)).issubset({-1, 0, 1})
+
+
+def test_api_parity_accessors():
+    """Reference cryptocontext.h accessor surface (GetModulus,
+    GetRootOfUnity, eval-key map (de)serialization methods, InPlace
+    aliases) — smoke-level parity check."""
+    p = CCParams(scheme=Scheme.BFVRNS_SCHEME, plaintext_modulus=65537,
+                 mult_depth=1, ring_dim=1 << 10,
+                 security_level=SecurityLevel.HEStd_NotSet)
+    cc = GenCryptoContext(p, seed=2)
+    for f in (PKESchemeFeature.PKE, PKESchemeFeature.KEYSWITCH,
+              PKESchemeFeature.LEVELEDSHE):
+        cc.Enable(f)
+    q = cc.GetModulus()
+    assert q == int(np.prod([int(m) for m in cc.moduli_q], dtype=object))
+    psi = cc.GetRootOfUnity()
+    q0 = int(cc.moduli_q[0])
+    assert pow(psi, 2 * cc.ring_dim, q0) == 1
+    assert pow(psi, cc.ring_dim, q0) == q0 - 1          # primitive 2N-th
+    assert cc.GetScheme() == Scheme.BFVRNS_SCHEME
+    assert cc.GetCryptoParameters() is cc.params
+
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    blob = cc.SerializeEvalMultKey()
+    cc.eval_mult_keys.clear()
+    cc.DeserializeEvalMultKey(blob)
+    a = np.arange(8, dtype=np.int64)
+    ct = cc.Encrypt(kp.public_key, cc.MakePackedPlaintext(a))
+    got = np.asarray(cc.Decrypt(
+        kp.secret_key, cc.EvalMult(ct, ct)).values[:8]) % 65537
+    np.testing.assert_array_equal(got, (a * a) % 65537)
