@@ -86,14 +86,26 @@ class CCParams:
             if self.scaling_technique in (
                     ScalingTechnique.COMPOSITESCALINGAUTO,
                     ScalingTechnique.COMPOSITESCALINGMANUAL):
+                # registerWordSize caps the per-limb modulus size (reference:
+                # ckksrns-cryptoparameters.cpp:190 ConfigureCompositeDegree,
+                # ckksrns-parametergeneration.cpp:99); TPU lanes additionally
+                # cap it at 28 bits (32-bit words, Barrett headroom)
+                if (self.scaling_technique ==
+                        ScalingTechnique.COMPOSITESCALINGAUTO
+                        and self.register_word_size < 20):
+                    raise ValueError(
+                        "register_word_size must be >= 20 for "
+                        "COMPOSITESCALINGAUTO; use COMPOSITESCALINGMANUAL")
+                cap = min(self.register_word_size, 28)
                 if self.composite_degree < 2:
                     # AUTO derives the degree from the requested scale
                     self.composite_degree = max(
-                        2, -(-self.scaling_mod_size // 28))
+                        2, -(-self.scaling_mod_size // cap))
                 per = -(-self.scaling_mod_size // self.composite_degree)
-                if per > 28:
-                    raise ValueError("scaling_mod_size too large for the "
-                                     "composite degree at 32-bit lanes")
+                if per > cap:
+                    raise ValueError(
+                        "scaling_mod_size too large for the composite "
+                        f"degree at {cap}-bit effective word size")
             elif self.scaling_mod_size > 28:
                 raise ValueError(
                     "scaling_mod_size > 28 unsupported on 32-bit TPU lanes;"

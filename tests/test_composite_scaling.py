@@ -61,3 +61,60 @@ def test_composite_full_packing_bootstrap():
     dec = cc.Decrypt(kp.secret_key, ct2)
     err = np.abs(dec.values.real[:slots] - x).max()
     assert err < 2e-3, f"full-packing composite bootstrap err={err:.3e}"
+
+
+def test_register_word_size_drives_composite_degree():
+    """registerWordSize analog (reference ckksrns-cryptoparameters.cpp:190
+    ConfigureCompositeDegree + parametergeneration.cpp:99): the word size
+    caps per-limb modulus bits, so a smaller register word forces a higher
+    composite degree; word < 20 is rejected for AUTO. This is the TPU
+    equivalent of the reference's NATIVE_SIZE/backend-selection matrix."""
+    import pytest
+
+    def degree(word, sms=50):
+        p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=128,
+                     mult_depth=2, scaling_mod_size=sms,
+                     first_mod_size=sms + 6, aux_mod_size=26,
+                     register_word_size=word,
+                     security_level=SecurityLevel.HEStd_NotSet,
+                     scaling_technique=ScalingTechnique.COMPOSITESCALINGAUTO)
+        p.validate()
+        return p.composite_degree
+
+    assert degree(32) == 2          # 50 bits / 28-bit lanes -> 2 limbs
+    assert degree(20) == 3          # 50 / 20 -> 3 limbs
+    assert degree(64) == 2          # device lanes still cap at 28 bits
+
+    with pytest.raises(ValueError):
+        degree(19)                  # reference: word >= 20 for AUTO
+
+    # MANUAL with an impossible degree for the word size is rejected
+    with pytest.raises(ValueError):
+        CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=128, mult_depth=2,
+                 scaling_mod_size=50, first_mod_size=56, aux_mod_size=26,
+                 register_word_size=20, composite_degree=2,
+                 security_level=SecurityLevel.HEStd_NotSet,
+                 scaling_technique=(
+                     ScalingTechnique.COMPOSITESCALINGMANUAL)).validate()
+
+
+def test_register_word_size_end_to_end_word20():
+    """Small-register chain (20-bit effective word) still computes
+    correctly end-to-end — the analog of running the reference with
+    NATIVE_SIZE=32."""
+    p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=128, mult_depth=2,
+                 scaling_mod_size=40, first_mod_size=46, aux_mod_size=20,
+                 register_word_size=20,
+                 security_level=SecurityLevel.HEStd_NotSet,
+                 scaling_technique=ScalingTechnique.COMPOSITESCALINGAUTO)
+    cc = GenCryptoContext(p, seed=3)
+    cc.Enable(PKESchemeFeature.PKE | PKESchemeFeature.KEYSWITCH
+              | PKESchemeFeature.LEVELEDSHE)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    x = np.linspace(-1, 1, cc.slots)
+    ct = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(x))
+    ct2 = cc.EvalMult(ct, ct)
+    dec = cc.Decrypt(kp.secret_key, ct2)
+    err = np.abs(dec.values.real[:cc.slots] - x * x).max()
+    assert err < 1e-4, f"word-20 composite mult err={err:.3e}"
