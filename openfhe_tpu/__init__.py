@@ -12,6 +12,7 @@ directly (openfhe_tpu.pke.context etc.) for framework-internal use.
 """
 
 from openfhe_tpu.pke.constants import (
+    CKKSDataType,
     DecryptionNoiseMode,
     EncryptionTechnique,
     ExecutionMode,
@@ -45,6 +46,7 @@ __version__ = "0.1.0"
 __all__ = [
     "BinFHEContext",
     "CCParams",
+    "CKKSDataType",
     "Ciphertext",
     "CryptoContext",
     "DecryptionNoiseMode",

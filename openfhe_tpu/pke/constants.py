@@ -86,6 +86,13 @@ class ExecutionMode(enum.Enum):
     EXEC_NOISE_ESTIMATION = "EXEC_NOISE_ESTIMATION"
 
 
+class CKKSDataType(enum.Enum):
+    """(constants-defs.h:117-120); COMPLEX keeps both embedding halves
+    through encode/decode, REAL conjugate-folds on decode."""
+    REAL = "REAL"
+    COMPLEX = "COMPLEX"
+
+
 class DecryptionNoiseMode(enum.Enum):
     FIXED_NOISE_DECRYPT = "FIXED_NOISE_DECRYPT"
     NOISE_FLOODING_DECRYPT = "NOISE_FLOODING_DECRYPT"

@@ -228,6 +228,10 @@ class CryptoContext:
     def GetKeyGenLevel(self) -> int:
         return getattr(self, "_keygen_level", 0)
 
+    def GetCKKSDataType(self):
+        """(reference gen-cryptocontext-params.h:362)"""
+        return self.params.ckks_data_type
+
     def SetKeyGenLevel(self, level: int) -> None:
         self._keygen_level = level
 
@@ -1279,6 +1283,32 @@ class CryptoContext:
     def InsertEvalAutomorphismKey(self, key_map, key_tag):
         self.eval_automorphism_keys.setdefault(key_tag, {}).update(key_map)
 
+    def InsertEvalSumKey(self, key_map, key_tag):
+        """Sum keys are rotation (automorphism) keys (reference
+        cryptocontext.h InsertEvalSumKey)."""
+        self.InsertEvalAutomorphismKey(key_map, key_tag)
+
+    # key-store management (reference cryptocontext.h:243-245 static maps;
+    # ours are per-context, so Clear* drops this context's stores)
+    def ClearEvalMultKeys(self, key_tag: str | None = None) -> None:
+        if key_tag is None:
+            self.eval_mult_keys.clear()
+        else:
+            self.eval_mult_keys.pop(key_tag, None)
+
+    def ClearEvalAutomorphismKeys(self, key_tag: str | None = None) -> None:
+        if key_tag is None:
+            self.eval_automorphism_keys.clear()
+        else:
+            self.eval_automorphism_keys.pop(key_tag, None)
+
+    ClearEvalSumKeys = ClearEvalAutomorphismKeys
+
+    def ClearStaticMapsAndVectors(self) -> None:
+        self.ClearEvalMultKeys()
+        self.ClearEvalAutomorphismKeys()
+        self.eval_sum_keys.clear()
+
     # ------------------------------------------------------------------
     # AdvancedSHE delegation (reference: cryptocontext.h EvalSum etc.)
     # ------------------------------------------------------------------
@@ -1586,6 +1616,28 @@ class CryptoContext:
 
     def GetBinCCForSchemeSwitch(self):
         return self._schswch.cc_lwe
+
+    def SetBinCCForSchemeSwitch(self, cc_lwe) -> None:
+        """Rebind the inner BinFHE context after deserializing
+        scheme-switching state (reference cryptocontext.h:3944)."""
+        self._schswch.cc_lwe = cc_lwe
+
+    def GetSwkFC(self):
+        """FHEW->CKKS switch key — the CKKS encryption of the LWE secret
+        (reference cryptocontext.h:3954)."""
+        return self._schswch.fhew_to_ckks_swk
+
+    def SetSwkFC(self, swk) -> None:
+        self._schswch.fhew_to_ckks_swk = swk
+
+    # debugging aid (reference cryptocontext.h:469-482: store the secret
+    # key in the context for noise-inspection workflows; here it is always
+    # available rather than gated on a compile flag)
+    def SetPrivateKey(self, sk) -> None:
+        self._debug_private_key = sk
+
+    def GetPrivateKey(self):
+        return getattr(self, "_debug_private_key", None)
 
 
 def GenCryptoContext(params: prm.CCParams, seed: int = 0) -> CryptoContext:

@@ -28,7 +28,7 @@ from openfhe_tpu.pke.constants import (EncryptionTechnique, ExecutionMode,
                                        MultiplicationTechnique,
                                        ProxyReEncryptionMode, ScalingTechnique,
                                        Scheme, SecretKeyDist, SecurityLevel,
-                                       DecryptionNoiseMode)
+                                       DecryptionNoiseMode, CKKSDataType)
 from openfhe_tpu.lattice import stdlatticeparms
 
 MAX_MODULUS_BITS = 31          # device lanes are uint32; q < 2^31
@@ -78,6 +78,7 @@ class CCParams:
     # functional knobs retained for parity
     num_adversarial_queries: int = 0
     interactive_boot_compression_level: str = "SLACK"
+    ckks_data_type: CKKSDataType = CKKSDataType.REAL
 
     def validate(self) -> None:
         """Central validation (reference:
