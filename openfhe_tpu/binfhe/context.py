@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from openfhe_tpu.binfhe import lwe, rgsw
-from openfhe_tpu.binfhe.constants import (BINFHE_METHOD, BINGATE, PARAM_SETS,
+from openfhe_tpu.binfhe.constants import (BINFHE_METHOD, BINGATE,
+                                          KEYGEN_MODE, PARAM_SETS,
                                           PRIME, gate_constants)
 from openfhe_tpu.math import modops as mo
 from openfhe_tpu.ops.ntt import ntt_fwd, ntt_inv
@@ -113,13 +114,27 @@ class BinFHEContext:
         """(binfhecontext.cpp:214)"""
         return lwe.pub_key_gen(self.next_rng(), sk_n, self.Q)
 
-    def BTKeyGen(self, sk: lwe.LWEPrivateKey) -> None:
+    def GetPublicKey(self) -> lwe.LWEPublicKey:
+        """(binfhecontext.h:171) — the pk stored by BTKeyGen(PUB_ENCRYPT)."""
+        pk = getattr(self, "pk", None)
+        if pk is None:
+            raise ValueError("no public key: call BTKeyGen(sk, "
+                             "keygen_mode=KEYGEN_MODE.PUB_ENCRYPT) first")
+        return pk
+
+    def BTKeyGen(self, sk: lwe.LWEPrivateKey,
+                 keygen_mode=KEYGEN_MODE.SYM_ENCRYPT) -> None:
         """(binfhe-base-scheme.cpp BTKeyGen :40): KS key + blind-rotation
-        key for the ring secret, per the configured method."""
+        key for the ring secret, per the configured method. With
+        keygen_mode=PUB_ENCRYPT a public key for the ring secret is also
+        generated and stored (binfhecontext.h:273 default SYM_ENCRYPT)."""
         b = self.rgsw.basis
         sk_n = getattr(self, "sk_n", None)
         if sk_n is None:
             sk_n = lwe.key_gen(self.next_rng(), self.N)
+            self.sk_n = sk_n
+        if keygen_mode == KEYGEN_MODE.PUB_ENCRYPT:
+            self.pk = lwe.pub_key_gen(self.next_rng(), sk_n, self.Q)
         sk_n_res = jnp.asarray(
             (np.asarray(sk_n.s) % self.Q).astype(np.uint32))[None, :]
         sk_n_eval = ntt_fwd(sk_n_res[None, :, :], b)[0, 0]
@@ -185,13 +200,15 @@ class BinFHEContext:
         SMALL_DIM output, switched down to (n, q) through the BTKeyGen
         switching key."""
         if isinstance(sk, lwe.LWEPublicKey):
-            ct = lwe.encrypt_pub(self.next_rng(), sk, m, q or self.Q, p,
+            # pk lives mod Q: always encrypt at (N, Q); a custom target q
+            # is reached through the switch-down (lwe-pke.cpp:153)
+            ct = lwe.encrypt_pub(self.next_rng(), sk, m, self.Q, p,
                                  self.std)
             if output == "SMALL_DIM":
                 if getattr(self, "ks_key", None) is None:
                     raise ValueError("public-key SMALL_DIM encryption needs "
                                      "BTKeyGen first (switching key)")
-                ct = lwe.switch_ct_to_qn(self.ks_key, self.q, ct)
+                ct = lwe.switch_ct_to_qn(self.ks_key, q or self.q, ct)
                 ct = ct.replace(pt_modulus=p)
             return ct
         return lwe.encrypt(self.next_rng(), sk, m, q or self.q, p, self.std)
@@ -392,9 +409,16 @@ class BinFHEContext:
 
     def EvalFunc(self, ct, lut) -> lwe.LWECiphertext:
         """Arbitrary-function evaluation via functional bootstrapping
-        (binfhe-base-scheme.cpp EvalFunc :261)."""
-        q = self.q
+        (binfhe-base-scheme.cpp EvalFunc :261).
+
+        The working modulus is the CIPHERTEXT's (EvalFunc :253), not the
+        context default — callers may hand in a ct at a boosted q."""
+        q = int(ct.modulus)
         lut = np.asarray(lut, np.int64)
+        if lut.shape[0] != q:
+            raise ValueError(f"LUT length {lut.shape[0]} != ciphertext "
+                             f"modulus {q}; generate the LUT for the "
+                             "modulus the ciphertext lives at")
         prop = self._check_input_function(lut, q)
         beta = self.beta
         qq = jnp.uint32(q)
