@@ -447,6 +447,79 @@ def bench_bfvbgv():
         _emit(f"{name}_evalmult_relin_ms_N{cc.ring_dim}", dt * 1e3, "ms")
 
 
+def bench_lib():
+    """Per-op latencies across the three RNS schemes — the TPU analog of
+    the reference's lib-benchmark.cpp:209-756 (KeyGen / Encrypt / Decrypt /
+    EvalAdd / EvalMult+relin / Rescale-ModReduce / EvalAtIndex)."""
+    import numpy as np
+    from openfhe_tpu.pke.constants import (PKESchemeFeature,
+                                           ScalingTechnique, Scheme,
+                                           SecurityLevel)
+    from openfhe_tpu.pke.context import GenCryptoContext
+    from openfhe_tpu.pke.parameters import CCParams
+
+    def timeit(fn, *args, reps=5):
+        out = fn(*args)
+        if hasattr(out, "elements"):
+            jax.block_until_ready(out.elements[0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        if hasattr(out, "elements"):
+            jax.block_until_ready(out.elements[0])
+        else:
+            jax.block_until_ready(jax.device_put(0))
+        return (time.perf_counter() - t0) / reps
+
+    configs = (
+        (Scheme.BFVRNS_SCHEME, "bfv",
+         dict(plaintext_modulus=65537, mult_depth=3, ring_dim=1 << 13)),
+        (Scheme.BGVRNS_SCHEME, "bgv",
+         dict(plaintext_modulus=65537, mult_depth=3, ring_dim=1 << 13,
+              scaling_technique=ScalingTechnique.FLEXIBLEAUTO)),
+        (Scheme.CKKSRNS_SCHEME, "ckks",
+         dict(mult_depth=3, ring_dim=1 << 13, scaling_mod_size=26,
+              first_mod_size=27,
+              scaling_technique=ScalingTechnique.FIXEDMANUAL)),
+    )
+    for scheme, name, kw in configs:
+        p = CCParams(scheme=scheme,
+                     security_level=SecurityLevel.HEStd_NotSet, **kw)
+        cc = GenCryptoContext(p, seed=7)
+        cc.Enable(PKESchemeFeature.PKE | PKESchemeFeature.KEYSWITCH
+                  | PKESchemeFeature.LEVELEDSHE)
+        t_kg = timeit(lambda: cc.KeyGen(), reps=3)
+        kp = cc.KeyGen()
+        cc.EvalMultKeyGen(kp.secret_key)
+        cc.EvalAtIndexKeyGen(kp.secret_key, [1])
+        if scheme == Scheme.CKKSRNS_SCHEME:
+            z = np.linspace(-1, 1, cc.slots)
+            pt = cc.MakeCKKSPackedPlaintext(z)
+        else:
+            pt = cc.MakePackedPlaintext(np.arange(64) % 17)
+        t_enc = timeit(lambda: cc.Encrypt(kp.public_key, pt))
+        ct = cc.Encrypt(kp.public_key, pt)
+        t_dec = timeit(lambda: cc.Decrypt(kp.secret_key, ct))
+        t_add = timeit(lambda: cc.EvalAdd(ct, ct))
+        t_mul = timeit(lambda: cc.EvalMult(ct, ct))
+        prod = cc.EvalMult(ct, ct)
+        if scheme == Scheme.CKKSRNS_SCHEME:
+            t_red = timeit(lambda: cc.Rescale(prod))
+        else:
+            t_red = timeit(lambda: cc.ModReduce(prod)) \
+                if scheme == Scheme.BGVRNS_SCHEME else None
+        t_rot = timeit(lambda: cc.EvalAtIndex(ct, 1))
+        extra = {"keygen_ms": round(t_kg * 1e3, 3),
+                 "encrypt_ms": round(t_enc * 1e3, 3),
+                 "decrypt_ms": round(t_dec * 1e3, 3),
+                 "evaladd_ms": round(t_add * 1e3, 3),
+                 "evalatindex_ms": round(t_rot * 1e3, 3)}
+        if t_red is not None:
+            extra["modreduce_ms"] = round(t_red * 1e3, 3)
+        _emit(f"lib_{name}_evalmult_relin_ms_N8192", t_mul * 1e3, "ms",
+              extra=extra)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "north"
     if which in ("north", "all"):
@@ -461,6 +534,8 @@ def main():
         bench_binfhe()
     if which in ("bfvbgv", "all"):
         bench_bfvbgv()
+    if which in ("lib", "all"):
+        bench_lib()
 
 
 if __name__ == "__main__":
