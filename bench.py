@@ -9,7 +9,8 @@ is tower-for-tower fair) because the fused Karatsuba kernels require
 moduli < 2^27 (ops/kara.py).
 
 Prints one JSON line per metric; the first line is the north star.
-Select subsets with argv[1] in {north, ntt, boot, binfhe, bfvbgv, all};
+Select subsets with argv[1] in {north, ntt, boot, boot16, binfhe, bfvbgv,
+lib, all} ("boot16" is excluded from "all": ~30 min of XLA compiles);
 default: north only (driver contract: exactly one line by default).
 """
 
@@ -458,17 +459,20 @@ def bench_lib():
     from openfhe_tpu.pke.context import GenCryptoContext
     from openfhe_tpu.pke.parameters import CCParams
 
+    def _sync(out):
+        # block on the actual outputs (KeyGen returns a KeyPair pytree, not
+        # a Ciphertext): a fresh device_put sync can complete on a separate
+        # stream from compute and under-report dispatch-only timings
+        jax.block_until_ready([x for x in jax.tree_util.tree_leaves(out)
+                               if hasattr(x, "block_until_ready")])
+
     def timeit(fn, *args, reps=5):
         out = fn(*args)
-        if hasattr(out, "elements"):
-            jax.block_until_ready(out.elements[0])
+        _sync(out)
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*args)
-        if hasattr(out, "elements"):
-            jax.block_until_ready(out.elements[0])
-        else:
-            jax.block_until_ready(jax.device_put(0))
+        _sync(out)
         return (time.perf_counter() - t0) / reps
 
     configs = (
@@ -514,8 +518,10 @@ def bench_lib():
                  "decrypt_ms": round(t_dec * 1e3, 3),
                  "evaladd_ms": round(t_add * 1e3, 3),
                  "evalatindex_ms": round(t_rot * 1e3, 3)}
-        if t_red is not None:
-            extra["modreduce_ms"] = round(t_red * 1e3, 3)
+        # BFV has no rescale/mod-reduce step; emit an explicit null so the
+        # per-scheme metric schema stays symmetric on purpose
+        extra["modreduce_ms"] = (round(t_red * 1e3, 3)
+                                 if t_red is not None else None)
         _emit(f"lib_{name}_evalmult_relin_ms_N8192", t_mul * 1e3, "ms",
               extra=extra)
 
