@@ -168,14 +168,24 @@ def _check_error_budget():
 # device-side pieces (shared by the jnp reference path and pallas kernels)
 # ---------------------------------------------------------------------------
 
+# bias injecting +64 at every 7-bit digit position; digit extraction from
+# the biased value needs no serial borrow chain (carries are already folded
+# into the higher bits by the one add)
+_DIGIT_BIAS = 64 * (1 + (1 << 7) + (1 << 14) + (1 << 21))
+
+
 def data_limbs128(v_u32):
-    """uint32 [..., A, B] -> list of NDIG int8 arrays (balanced base-128)."""
-    vv = v_u32.astype(jnp.int32)
+    """uint32 [..., A, B] (canonical, < 2^27) -> list of NDIG int8 arrays
+    (balanced base-128, |d| <= 64).
+
+    One biased add replaces the serial compute-digit/subtract/shift chain:
+    w = v + 64*(2^0 + 2^7 + 2^14 + 2^21) makes every balanced digit a plain
+    unsigned field extract, d_i = ((w >> 7i) & 127) - 64, since
+    sum_i (w_i - 64) * 2^{7i} = w - bias = v exactly (w < 2^28)."""
+    w = v_u32.astype(jnp.int32) + _DIGIT_BIAS
     outs = []
-    for _ in range(NDIG):
-        d = ((vv + 64) & 127) - 64
-        outs.append(d.astype(jnp.int8))
-        vv = (vv - d) >> 7
+    for i in range(NDIG):
+        outs.append((((w >> (7 * i)) & 127) - 64).astype(jnp.int8))
     return outs
 
 
@@ -228,12 +238,18 @@ def kara_sources(d0, d2, d1, d_dim, b_dim):
     return [p0[0], p0[1], p0[2], p1[0], p1[1], p1[2], p2[0], p2[1], p2[2]]
 
 
-def kara_recombine(ps, q, c_vec, ratio_vec, m32):
+def kara_recombine(ps, q, c_vec, ratio_vec, m32, canonical=True):
     """sum_s p_s * K_s mod q via the f32-quotient lazy epilogue.
 
     ps: 9 int32 arrays [D, B] (|p| <= 2^23); q/m32 scalars-or-columns;
     c_vec/ratio_vec: indexable [9] (uint32 / float32). Returns uint32
     canonical [D, B].
+
+    canonical=False skips the final Barrett pass and returns the biased
+    value t = (sum mod q) + e*q with 0 <= t < 32q < 2^32. Use when the
+    consumer is a Shoup constant-multiply (`mo.mul_mod_shoup` accepts any
+    x < 2^32 and emits a canonical residue), which every NTT stage's
+    twiddle/key/scale multiply is — the Barrett there is pure overhead.
     """
     # group A: sources 0-4, group B: 5-8 (two rounding groups)
     def group_u(idx):
@@ -250,6 +266,8 @@ def kara_recombine(ps, q, c_vec, ratio_vec, m32):
         t = term if t is None else t + term
     qi = q.astype(jnp.int32)
     t = t - u * qi + _BIAS_Q * qi
+    if not canonical:
+        return t.astype(jnp.uint32)
     return mo.barrett_u32(t.astype(jnp.uint32), q, m32)
 
 

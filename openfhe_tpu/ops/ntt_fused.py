@@ -129,28 +129,42 @@ def _kara_nt(x, w3):
     return kara.kara_sources(dots[0], dots[1], dots[2], r, d)
 
 
-def _recombine(ps, t, consts_refs):
+def _recombine(ps, t, consts_refs, canonical=True):
     q_ref, m32_ref, c_ref, ratio_ref = consts_refs
     q = q_ref[t]
     c_vec = [c_ref[t, i] for i in range(kara.NSRC)]      # SMEM scalar loads
     r_vec = [ratio_ref[t, i] for i in range(kara.NSRC)]
-    return kara.kara_recombine(ps, q, c_vec, r_vec, m32_ref[t])
+    return kara.kara_recombine(ps, q, c_vec, r_vec, m32_ref[t],
+                               canonical=canonical)
 
 
-def _fwd_core(x, t, wr_ref, wc_ref, tw_ref, twsh_ref, consts_refs):
-    """Full forward NTT of one [R, C] block in VMEM."""
+def _fwd_core(x, t, wr_ref, wc_ref, tw_ref, twsh_ref, consts_refs,
+              lazy_out=False):
+    """Full forward NTT of one [R, C] block in VMEM.
+
+    Stage-1 output feeds the twiddle Shoup multiply, so its recombine is
+    always lazy (biased < 32q; mul_mod_shoup canonicalizes). lazy_out=True
+    additionally leaves the stage-2 result biased — valid only when the
+    caller's next op is itself a Shoup constant-multiply.
+    """
     q = consts_refs[0][t]
-    s1 = _recombine(_kara_nn(wr_ref[0], x), t, consts_refs)
-    s2 = mo.mul_mod_shoup(s1, tw_ref[0], twsh_ref[0], q)
-    return _recombine(_kara_nt(s2, wc_ref[0]), t, consts_refs)
+    s1 = _recombine(_kara_nn(wr_ref[0], x), t, consts_refs, canonical=False)
+    s2 = mo.mul_mod_shoup_fast(s1, tw_ref[0], twsh_ref[0], q)
+    return _recombine(_kara_nt(s2, wc_ref[0]), t, consts_refs,
+                      canonical=not lazy_out)
 
 
-def _inv_core(y, t, wci_ref, wri_ref, twi_ref, twish_ref, consts_refs):
-    """Full inverse NTT of one [R, C] block in VMEM."""
+def _inv_core(y, t, wci_ref, wri_ref, twi_ref, twish_ref, consts_refs,
+              lazy_out=False):
+    """Full inverse NTT of one [R, C] block in VMEM. See _fwd_core on
+    lazy_out; the mid recombine is always lazy (feeds the twiddle Shoup
+    multiply)."""
     q = consts_refs[0][t]
-    s2t = _recombine(_kara_nt(y, wci_ref[0]), t, consts_refs)  # [d', b]
-    s1 = mo.mul_mod_shoup(s2t, twi_ref[0], twish_ref[0], q)
-    return _recombine(_kara_nn(wri_ref[0], s1), t, consts_refs)
+    s2t = _recombine(_kara_nt(y, wci_ref[0]), t, consts_refs,
+                     canonical=False)                          # [d', b]
+    s1 = mo.mul_mod_shoup_fast(s2t, twi_ref[0], twish_ref[0], q)
+    return _recombine(_kara_nn(wri_ref[0], s1), t, consts_refs,
+                      canonical=not lazy_out)
 
 
 # ---------------------------------------------------------------------------

@@ -244,22 +244,32 @@ def _consts_pack(tabs):
     return (tabs.kq, tabs.km32, tabs.kc, tabs.kratio)
 
 
-def _recomb(ps, tau, q_ref, m32_ref, c_ref, ratio_ref):
+def _recomb(ps, tau, q_ref, m32_ref, c_ref, ratio_ref, canonical=True):
     cv = [c_ref[tau, i] for i in range(kara.NSRC)]
     rv = [ratio_ref[tau, i] for i in range(kara.NSRC)]
-    return kara.kara_recombine(ps, q_ref[tau], cv, rv, m32_ref[tau])
+    return kara.kara_recombine(ps, q_ref[tau], cv, rv, m32_ref[tau],
+                               canonical=canonical)
 
 
-def _fwd_core(x, tau, wr, wc, tw, twsh, q_ref, m32_ref, c_ref, ratio_ref):
-    s1 = _recomb(nf._kara_nn(wr, x), tau, q_ref, m32_ref, c_ref, ratio_ref)
-    s2 = mo.mul_mod_shoup(s1, tw, twsh, q_ref[tau])
-    return _recomb(nf._kara_nt(s2, wc), tau, q_ref, m32_ref, c_ref, ratio_ref)
+def _fwd_core(x, tau, wr, wc, tw, twsh, q_ref, m32_ref, c_ref, ratio_ref,
+              lazy_out=False):
+    """Stage-1 recombine is always lazy (feeds the twiddle Shoup multiply);
+    lazy_out leaves stage 2 biased < 32q for callers whose next op is a
+    Shoup constant-multiply (see kara.kara_recombine)."""
+    s1 = _recomb(nf._kara_nn(wr, x), tau, q_ref, m32_ref, c_ref, ratio_ref,
+                 canonical=False)
+    s2 = mo.mul_mod_shoup_fast(s1, tw, twsh, q_ref[tau])
+    return _recomb(nf._kara_nt(s2, wc), tau, q_ref, m32_ref, c_ref, ratio_ref,
+                   canonical=not lazy_out)
 
 
-def _inv_core(y, tau, wci, wri, twi, twish, q_ref, m32_ref, c_ref, ratio_ref):
-    s2t = _recomb(nf._kara_nt(y, wci), tau, q_ref, m32_ref, c_ref, ratio_ref)
-    s1 = mo.mul_mod_shoup(s2t, twi, twish, q_ref[tau])
-    return _recomb(nf._kara_nn(wri, s1), tau, q_ref, m32_ref, c_ref, ratio_ref)
+def _inv_core(y, tau, wci, wri, twi, twish, q_ref, m32_ref, c_ref, ratio_ref,
+              lazy_out=False):
+    s2t = _recomb(nf._kara_nt(y, wci), tau, q_ref, m32_ref, c_ref, ratio_ref,
+                  canonical=False)
+    s1 = mo.mul_mod_shoup_fast(s2t, twi, twish, q_ref[tau])
+    return _recomb(nf._kara_nn(wri, s1), tau, q_ref, m32_ref, c_ref, ratio_ref,
+                   canonical=not lazy_out)
 
 
 def _tensor_intt(a0_4, a1_4, b0_4, b1_4, tabs: FusedKSTables):
@@ -287,8 +297,9 @@ def _tensor_intt(a0_4, a1_4, b0_4, b1_4, tabs: FusedKSTables):
         c2_ref[0] = c2
         cr_ref[0] = cross
         v = _inv_core(c2, i, wci_ref[0], wri_ref[0], twi_ref[0],
-                      twish_ref[0], q_ref, m32_ref, c_ref, ratio_ref)
-        y_ref[0] = mo.mul_mod_shoup(v, sc_ref[i], scsh_ref[i], q)
+                      twish_ref[0], q_ref, m32_ref, c_ref, ratio_ref,
+                      lazy_out=True)
+        y_ref[0] = mo.mul_mod_shoup_fast(v, sc_ref[i], scsh_ref[i], q)
 
     return pl.pallas_call(
         kern,
@@ -335,8 +346,8 @@ def _intt_scale(x4, tabs: FusedKSTables, tower_offset: int, scale, scale_sh,
         tau = i + tower_offset
         v = _inv_core(x_ref[0, 0], tau, wci_ref[0], wri_ref[0],
                       twi_ref[0], twish_ref[0],
-                      q_ref, m32_ref, c_ref, ratio_ref)
-        o_ref[0, 0] = mo.mul_mod_shoup(v, sc_ref[i], scsh_ref[i], q_ref[tau])
+                      q_ref, m32_ref, c_ref, ratio_ref, lazy_out=True)
+        o_ref[0, 0] = mo.mul_mod_shoup_fast(v, sc_ref[i], scsh_ref[i], q_ref[tau])
 
     off = tower_offset
     ioff = in_offset
@@ -456,10 +467,11 @@ def _ntt_keymul_acc(conv4, c2_4, bv4, bvsh4, av4, avsh4,
             lambda: c2_ref[0],
             lambda: _fwd_core(conv_ref[0, 0], tau, wr_ref[0], wc_ref[0],
                               tw_ref[0], twsh_ref[0],
-                              q_ref, m32_ref, c_ref, ratio_ref))
+                              q_ref, m32_ref, c_ref, ratio_ref,
+                              lazy_out=True))
         q = q_ref[tau]
-        t0 = mo.mul_mod_shoup(s, bv_ref[0, 0], bvsh_ref[0, 0], q)
-        t1 = mo.mul_mod_shoup(s, av_ref[0, 0], avsh_ref[0, 0], q)
+        t0 = mo.mul_mod_shoup_fast(s, bv_ref[0, 0], bvsh_ref[0, 0], q)
+        t1 = mo.mul_mod_shoup_fast(s, av_ref[0, 0], avsh_ref[0, 0], q)
 
         @pl.when(j == 0)
         def _():
@@ -515,12 +527,14 @@ def _ntt_subscale(convq4, ext, tabs: FusedKSTables):
              x_ref, xq_ref, o_ref):
         tau = pl.program_id(0)
         q = q_ref[tau]
+        # with t != 1, the t-multiply (Shoup) canonicalizes a lazy NTT output
         s = _fwd_core(x_ref[0, 0], tau, wr_ref[0], wc_ref[0], tw_ref[0],
-                      twsh_ref[0], q_ref, m32_ref, c_ref, ratio_ref)
+                      twsh_ref[0], q_ref, m32_ref, c_ref, ratio_ref,
+                      lazy_out=not t_is_one)
         if not t_is_one:
-            s = mo.mul_mod_shoup(s, tq_ref[tau], tqsh_ref[tau], q)
+            s = mo.mul_mod_shoup_fast(s, tq_ref[tau], tqsh_ref[tau], q)
         d = mo.sub_mod(xq_ref[0, 0], s, q)
-        o_ref[0, 0] = mo.mul_mod_shoup(d, pv_ref[tau], pvsh_ref[tau], q)
+        o_ref[0, 0] = mo.mul_mod_shoup_fast(d, pv_ref[tau], pvsh_ref[tau], q)
 
     return pl.pallas_call(
         kern,
@@ -562,7 +576,7 @@ def _ntt_submul_final(convq4, ext, a0_4, b0_4, cross4, c2x4,
         s = _fwd_core(x_ref[0, 0], tau, wr_ref[0], wc_ref[0], tw_ref[0],
                       twsh_ref[0], q_ref, m32_ref, c_ref, ratio_ref)
         d = mo.sub_mod(xq_ref[0, 0], s, q)
-        d = mo.mul_mod_shoup(d, pv_ref[tau], pvsh_ref[tau], q)
+        d = mo.mul_mod_shoup_fast(d, pv_ref[tau], pvsh_ref[tau], q)
         c0 = mo.mul_mod(a0_ref[0], b0_ref[0], q, r32_ref[tau],
                         r32sh_ref[tau], m32_ref[tau])
         c1 = mo.sub_mod(mo.sub_mod(cr_ref[0], c0, q), c2_ref[0], q)
