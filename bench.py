@@ -115,6 +115,31 @@ def bench_north():
 
     a0, a1 = ct_a.elements
     b0, b1 = ct_b.elements
+
+    # correctness preflight (round-3 verdict: a miscompiled kernel must
+    # FAIL the bench, not win it): one fused mult+relin must be bit-exact
+    # vs the unfused XLA chain before anything is timed
+    verified = None
+    if tabs.fused is not None and ek.bv_sh is not None:
+        import dataclasses
+        from openfhe_tpu.pke.keyswitch import ks_fused
+        f0, f1 = jax.jit(lambda *a: ks_fused.mult_relin_fused(
+            *a, ek.bv, ek.av, ek.bv_sh, ek.av_sh, tabs.fused))(a0, a1, b0, b1)
+        tabs_ref = dataclasses.replace(tabs, fused=None)
+        mm = lambda x, y: mo.mul_mod(x, y, basis.q, basis.r32, basis.r32_sh,
+                                     basis.m32)
+        c0 = mm(a0, b0)
+        c1 = mo.add_mod(mm(a0, b1), mm(a1, b0), basis.q)
+        c2 = mm(a1, b1)
+        d0, d1 = hybrid.keyswitch_core(c2, ek, tabs_ref)
+        r0 = mo.add_mod(c0, d0, basis.q)
+        r1 = mo.add_mod(c1, d1, basis.q)
+        verified = bool(jnp.array_equal(f0, r0)) and \
+            bool(jnp.array_equal(f1, r1))
+        if not verified:
+            raise SystemExit(
+                "bench_north preflight FAILED: fused mult+relin is not "
+                "bit-exact vs the unfused reference chain")
     out = chain(a0, a1, b0, b1)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -134,6 +159,7 @@ def bench_north():
           extra={"vs_measured_1core_cpu":
                  round(ct_per_s / BASELINE_CT_PER_S_1CORE, 1),
                  "mxu_mfu": round(mfu, 3),
+                 "verified_bit_exact": verified,
                  "note": ("MFU = fraction of v5e int8 matmul "
                           "speed-of-light for the 208 tower-transforms "
                           "per mult+relin")})

@@ -42,6 +42,13 @@ from openfhe_tpu.ops import kara
 from openfhe_tpu.ops import ntt_fused as nf
 
 
+# When True, every pallas_call below runs in interpreter mode — lets CPU
+# pytest assert the production kernel chain bit-exact against the XLA
+# reference path (tests/test_ks_fused.py), exactly as ops/ntt_fused.py's
+# interpret flag does for the NTT kernels. Read at trace time.
+INTERPRET = False
+
+
 def supported(moduli_qlp, ring_dim: int) -> bool:
     return (jax.default_backend() == "tpu" and ring_dim >= nf.MIN_RING_DIM
             and ring_dim & (ring_dim - 1) == 0
@@ -320,6 +327,7 @@ def _tensor_intt(a0_4, a1_4, b0_4, b1_4, tabs: FusedKSTables):
         out_shape=(jax.ShapeDtypeStruct((kql, r, c), jnp.uint32),
                    jax.ShapeDtypeStruct((kql, r, c), jnp.uint32),
                    jax.ShapeDtypeStruct((kql, r, c), jnp.uint32)),
+        interpret=INTERPRET,
     )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio, tabs.r32_q, tabs.r32_q_sh,
       tabs.bhatinv_q, tabs.bhatinv_q_sh,
       tabs.wci, tabs.wri, tabs.twi, tabs.twi_sh,
@@ -367,6 +375,7 @@ def _intt_scale(x4, tabs: FusedKSTables, tower_offset: int, scale, scale_sh,
         out_specs=pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rep, k, r, c), jnp.uint32),
+        interpret=INTERPRET,
     )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio, scale, scale_sh,
       tabs.wci, tabs.wri, tabs.twi, tabs.twi_sh, x4)
     return out.reshape(lead + (k, r, c)) if lead else out[0]
@@ -404,6 +413,7 @@ def _conv_digits(y_pad, tabs: FusedKSTables, tile_b: int = 2048):
         out_shape=jax.ShapeDtypeStruct((rows, nb), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
     )(tabs.conv_w, tabs.conv_rm_q, tabs.conv_rm_m32, tabs.conv_rm_c,
       tabs.conv_rm_ratio, y_pad.reshape(nd * alpha, nb))
     return out.reshape(nd, kqlp, nb)
@@ -437,6 +447,7 @@ def _conv_p_to_q(p_coeff, tabs: FusedKSTables, tile_b: int = 4096):
         out_specs=pl.BlockSpec((1, kql, tb), lambda e, b: (e, 0, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ne, kql, nb), jnp.uint32),
+        interpret=INTERPRET,
     )(tabs.pconv_w, tabs.pconv_rm_q, tabs.pconv_rm_m32, tabs.pconv_rm_c,
       tabs.pconv_rm_ratio, p_coeff)
 
@@ -505,6 +516,7 @@ def _ntt_keymul_acc(conv4, c2_4, bv4, bvsh4, av4, avsh4,
         out_specs=pl.BlockSpec((2, 1, r, c), lambda tau, j: (0, tau, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, kqlp, r, c), jnp.uint32),
+        interpret=INTERPRET,
     )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio,
       tabs.kql_real.reshape(1),
       tabs.wr, tabs.wc, tabs.tw, tabs.tw_sh,
@@ -552,6 +564,7 @@ def _ntt_subscale(convq4, ext, tabs: FusedKSTables):
         out_specs=pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, kql, r, c), jnp.uint32),
+        interpret=INTERPRET,
     )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio,
       tabs.t_modq, tabs.t_modq_sh, tabs.pinv_q, tabs.pinv_q_sh,
       tabs.wr, tabs.wc, tabs.tw, tabs.tw_sh, convq4, ext)
@@ -603,6 +616,7 @@ def _ntt_submul_final(convq4, ext, a0_4, b0_4, cross4, c2x4,
         out_specs=pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, kql, r, c), jnp.uint32),
+        interpret=INTERPRET,
     )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio, tabs.r32_q, tabs.r32_q_sh,
       tabs.pinv_q, tabs.pinv_q_sh,
       tabs.wr, tabs.wc, tabs.tw, tabs.tw_sh,
@@ -635,12 +649,14 @@ def keyswitch_core_fused(c2: jnp.ndarray, bv, av, bv_sh, av_sh,
     # K2: extend every digit to the full QlP basis
     conv = _conv_digits(_pad_digits(y, tabs), tabs)     # [nd, kqlp, N]
     conv4 = conv.reshape(nd, kqlp, r, c)
-    # K3: NTT + key inner product, accumulated over digits
+    # K3: NTT + key inner product, accumulated over digits. Keys carry
+    # num_large_digits rows; shallow levels may use fewer digits (nd < key
+    # rows) — the extra digits' towers are empty, so slice them off.
     kfull_p = bv.shape[1]
-    bv4 = bv.reshape(nd, kfull_p, r, c)
-    av4 = av.reshape(nd, kfull_p, r, c)
-    bvsh4 = bv_sh.reshape(nd, kfull_p, r, c)
-    avsh4 = av_sh.reshape(nd, kfull_p, r, c)
+    bv4 = bv.reshape(-1, kfull_p, r, c)[:nd]
+    av4 = av.reshape(-1, kfull_p, r, c)[:nd]
+    bvsh4 = bv_sh.reshape(-1, kfull_p, r, c)[:nd]
+    avsh4 = av_sh.reshape(-1, kfull_p, r, c)[:nd]
     ext = _ntt_keymul_acc(conv4, c2_4, bv4, bvsh4, av4, avsh4, tabs)
     # K4-K6: ApproxModDown, both elements batched through each kernel
     pc = _intt_scale(ext, tabs, kql, tabs.pscale, tabs.pscale_sh,
@@ -686,10 +702,11 @@ def mult_relin_fused(a0, a1, b0, b1, bv, av, bv_sh, av_sh,
     conv = _conv_digits(_pad_digits(y, tabs), tabs)
     conv4 = conv.reshape(nd, kqlp, r, c)
     kfull_p = bv.shape[1]
-    ext = _ntt_keymul_acc(conv4, c2x, bv.reshape(nd, kfull_p, r, c),
-                          bv_sh.reshape(nd, kfull_p, r, c),
-                          av.reshape(nd, kfull_p, r, c),
-                          av_sh.reshape(nd, kfull_p, r, c), tabs)
+    ext = _ntt_keymul_acc(conv4, c2x,
+                          bv.reshape(-1, kfull_p, r, c)[:nd],
+                          bv_sh.reshape(-1, kfull_p, r, c)[:nd],
+                          av.reshape(-1, kfull_p, r, c)[:nd],
+                          av_sh.reshape(-1, kfull_p, r, c)[:nd], tabs)
     pc = _intt_scale(ext, tabs, kql, tabs.pscale, tabs.pscale_sh,
                      k=kp, in_offset=kql)
     convq = _conv_p_to_q(pc.reshape(2, kp, n), tabs)
