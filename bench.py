@@ -30,7 +30,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # against the compiled reference v1.5.1; see BASELINE.md): 1.49 ct/s
 # single-core. The driver's stated target is a 64-core CPU; a perfectly
 # scaling 64-core run would reach ~95 ct/s, so we report vs_baseline
-# against that EXTRAPOLATED figure (conservative for us).
+# against that EXTRAPOLATED figure (conservative for us: the reference's
+# own OpenMP caps num_threads at the tower count — 42 here — so 64x is
+# unreachable even in principle; see BASELINE.md "Why the 64x
+# extrapolation strictly over-states the baseline").
 BASELINE_CT_PER_S_1CORE = 1.49
 BASELINE_CT_PER_S_64CORE_EXTRAP = BASELINE_CT_PER_S_1CORE * 64
 
