@@ -129,6 +129,37 @@ static void bench_bfv_bgv() {
     }
 }
 
+static void bench_bfv_techniques() {
+    // BFV multiplication method comparison at N=2^14 depth-2 (reference
+    // bfv-mult-method-benchmark.cpp shape): the TPU repo serves all four
+    // enum values with one integer-exact path; this measures what each
+    // reference algorithm costs so that claim is backed by numbers.
+    struct { MultiplicationTechnique t; const char* name; } techs[] = {
+        {BEHZ, "behz"}, {HPS, "hps"}, {HPSPOVERQ, "hpspoverq"},
+        {HPSPOVERQLEVELED, "hpspoverqleveled"}};
+    for (auto& tc : techs) {
+        CCParams<CryptoContextBFVRNS> parameters;
+        parameters.SetPlaintextModulus(65537);
+        parameters.SetMultiplicativeDepth(2);
+        parameters.SetRingDim(1 << 14);
+        parameters.SetSecurityLevel(HEStd_128_classic);
+        parameters.SetMultiplicationTechnique(tc.t);
+        CryptoContext<DCRTPoly> cc = GenCryptoContext(parameters);
+        cc->Enable(PKE);
+        cc->Enable(KEYSWITCH);
+        cc->Enable(LEVELEDSHE);
+        auto keys = cc->KeyGen();
+        cc->EvalMultKeyGen(keys.secretKey);
+        std::vector<int64_t> v(8192, 3);
+        Plaintext pt = cc->MakePackedPlaintext(v);
+        auto ct1 = cc->Encrypt(keys.publicKey, pt);
+        auto ct2 = cc->Encrypt(keys.publicKey, pt);
+        double dt = time_loop([&]() { auto c = cc->EvalMult(ct1, ct2); }, 2.0);
+        emit(std::string("ref_bfv_") + tc.name +
+             "_evalmult_relin_ms_N16384_depth2", dt * 1e3, "ms");
+    }
+}
+
 static void bench_binfhe() {
     auto cc = BinFHEContext();
     cc.GenerateBinFHEContext(STD128, GINX);
@@ -187,6 +218,7 @@ int main(int argc, char** argv) {
     if (which == "all" || which == "ntt") bench_ntt();
     if (which == "all" || which == "ckks") bench_ckks_mult();
     if (which == "all" || which == "bfvbgv") bench_bfv_bgv();
+    if (which == "all" || which == "bfvtech") bench_bfv_techniques();
     if (which == "all" || which == "binfhe") bench_binfhe();
     if (which == "all" || which == "boot") bench_ckks_bootstrap();
     return 0;

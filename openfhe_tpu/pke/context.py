@@ -219,8 +219,9 @@ class CryptoContext:
         """2N-th root of the first tower (reference GetRootOfUnity).
         psi_br[t, j] holds psi^brv(j), so index brv^-1(1) recovers psi."""
         from openfhe_tpu.lattice.basis import _bitrev_indices
-        return int(np.asarray(self.basis_q.psi_br)[
-            0, _bitrev_indices(self.ring_dim)[1]])
+        # index on device, fetch one scalar (not the whole [k, N] table)
+        return int(self.basis_q.psi_br[
+            0, int(_bitrev_indices(self.ring_dim)[1])])
 
     def GetScheme(self):
         return self.scheme

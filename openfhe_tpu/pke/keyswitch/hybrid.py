@@ -218,14 +218,33 @@ def _fast_core_ext(digits: list, ek: EvalKey, tabs: HybridTables):
 
 
 def shoup_companions(ek: EvalKey, moduli_qp) -> EvalKey:
-    """Attach per-element Shoup companions (host numpy, one-time at
-    keygen) enabling the fused kernels' constant-multiply key product."""
-    q = np.array([int(m) for m in moduli_qp], np.uint64).reshape(1, -1, 1)
-    bv = np.asarray(ek.bv).astype(np.uint64)
-    av = np.asarray(ek.av).astype(np.uint64)
-    return EvalKey(bv=ek.bv, av=ek.av,
-                   bv_sh=jnp.asarray(((bv << 32) // q).astype(np.uint32)),
-                   av_sh=jnp.asarray(((av << 32) // q).astype(np.uint32)),
+    """Attach per-element Shoup companions floor(v * 2^32 / q), enabling
+    the fused kernels' constant-multiply key product.
+
+    Computed ON DEVICE by long division in chunks of (32 - modulus bits)
+    quotient bits (shift/div/mul/sub; remainders < q keep every
+    intermediate in uint32) — the former numpy version round-tripped the
+    whole eval key through the host (2 x ~nd*kQP*N words), which
+    dominated keygen."""
+    mods = [int(m) for m in moduli_qp]
+    q = jnp.asarray(np.array(mods, np.uint32)).reshape(1, -1, 1)
+    chunk = max(1, 32 - max(mods).bit_length())
+    bits = [chunk] * (32 // chunk)
+    if sum(bits) < 32:
+        bits.append(32 - sum(bits))
+
+    @jax.jit
+    def sh(v):
+        quot = jnp.zeros_like(v)
+        rem = v
+        for b in bits:
+            acc = rem << b                    # rem < q -> fits uint32
+            dig = acc // q
+            rem = acc - dig * q
+            quot = (quot << b) | dig
+        return quot
+
+    return EvalKey(bv=ek.bv, av=ek.av, bv_sh=sh(ek.bv), av_sh=sh(ek.av),
                    key_tag=ek.key_tag)
 
 

@@ -528,8 +528,8 @@ def _ntt_subscale(convq4, ext, tabs: FusedKSTables):
     """K6, both elements: out[e] = (ext[e, :kql] - t*NTT(convq[e])) * P^{-1}.
 
     convq4 [2, kql, R, C] COEFF; ext [2, kqlp, R, C] EVAL.
-    Grid is (tower, element) so NTT weights are amortized across the two
-    elements. Returns [2, kql, R, C] EVAL."""
+    Grid is per tower with both elements in one step (NTT weights loaded
+    once). Returns [2, kql, R, C] EVAL."""
     kql = tabs.kql
     r, c = tabs.r, tabs.c
     t_is_one = tabs.t_is_one
@@ -539,29 +539,32 @@ def _ntt_subscale(convq4, ext, tabs: FusedKSTables):
              x_ref, xq_ref, o_ref):
         tau = pl.program_id(0)
         q = q_ref[tau]
-        # with t != 1, the t-multiply (Shoup) canonicalizes a lazy NTT output
-        s = _fwd_core(x_ref[0, 0], tau, wr_ref[0], wc_ref[0], tw_ref[0],
-                      twsh_ref[0], q_ref, m32_ref, c_ref, ratio_ref,
-                      lazy_out=not t_is_one)
-        if not t_is_one:
-            s = mo.mul_mod_shoup_fast(s, tq_ref[tau], tqsh_ref[tau], q)
-        d = mo.sub_mod(xq_ref[0, 0], s, q)
-        o_ref[0, 0] = mo.mul_mod_shoup_fast(d, pv_ref[tau], pvsh_ref[tau], q)
+        for e in range(2):
+            # with t != 1, the t-multiply (Shoup) canonicalizes a lazy
+            # NTT output
+            s = _fwd_core(x_ref[e, 0], tau, wr_ref[0], wc_ref[0],
+                          tw_ref[0], twsh_ref[0], q_ref, m32_ref, c_ref,
+                          ratio_ref, lazy_out=not t_is_one)
+            if not t_is_one:
+                s = mo.mul_mod_shoup_fast(s, tq_ref[tau], tqsh_ref[tau], q)
+            d = mo.sub_mod(xq_ref[e, 0], s, q)
+            o_ref[e, 0] = mo.mul_mod_shoup_fast(d, pv_ref[tau],
+                                                pvsh_ref[tau], q)
 
     return pl.pallas_call(
         kern,
-        grid=(kql, 2),
+        grid=(kql,),
         in_specs=_smem_specs(8) + [
-            _w_spec((kara.KARA_GROUPS, 2 * r, r), lambda i, e: (i, 0, 0, 0)),
-            _w_spec((kara.KARA_GROUPS, 2 * c, c), lambda i, e: (i, 0, 0, 0)),
-            _w_spec((r, c), lambda i, e: (i, 0, 0)),
-            _w_spec((r, c), lambda i, e: (i, 0, 0)),
-            pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+            _w_spec((kara.KARA_GROUPS, 2 * r, r), lambda i: (i, 0, 0, 0)),
+            _w_spec((kara.KARA_GROUPS, 2 * c, c), lambda i: (i, 0, 0, 0)),
+            _w_spec((r, c), lambda i: (i, 0, 0)),
+            _w_spec((r, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((2, 1, r, c), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+            pl.BlockSpec((2, 1, r, c), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+        out_specs=pl.BlockSpec((2, 1, r, c), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, kql, r, c), jnp.uint32),
         interpret=INTERPRET,
@@ -572,10 +575,12 @@ def _ntt_subscale(convq4, ext, tabs: FusedKSTables):
 
 def _ntt_submul_final(convq4, ext, a0_4, b0_4, cross4, c2x4,
                       tabs: FusedKSTables):
-    """K6 variant ending a full mult+relin: per (tower, element)
-        d   = (ext[e] - NTT(convq[e])) * P^{-1}          (ApproxModDown)
-        c0  = a0*b0
-        out = e==0 ?  c0 + d  :  (cross - c0 - c2) + d
+    """K6 variant ending a full mult+relin: per tower (both elements in
+    one grid step — c0/c1 and the NTT weights are shared, so the tensor
+    epilogue is computed once and weight DMA halves):
+        d_e = (ext[e] - NTT(convq[e])) * P^{-1}          (ApproxModDown)
+        c0  = a0*b0;  c1 = cross - c0 - c2
+        out = (c0 + d_0, c1 + d_1)
     Returns [2, kql, R, C] EVAL (the relinearized product ciphertext)."""
     kql = tabs.kql
     r, c = tabs.r, tabs.c
@@ -584,36 +589,35 @@ def _ntt_submul_final(convq4, ext, a0_4, b0_4, cross4, c2x4,
              pv_ref, pvsh_ref, wr_ref, wc_ref, tw_ref, twsh_ref,
              x_ref, xq_ref, a0_ref, b0_ref, cr_ref, c2_ref, o_ref):
         tau = pl.program_id(0)
-        e = pl.program_id(1)
         q = q_ref[tau]
-        s = _fwd_core(x_ref[0, 0], tau, wr_ref[0], wc_ref[0], tw_ref[0],
-                      twsh_ref[0], q_ref, m32_ref, c_ref, ratio_ref)
-        d = mo.sub_mod(xq_ref[0, 0], s, q)
-        d = mo.mul_mod_shoup_fast(d, pv_ref[tau], pvsh_ref[tau], q)
         c0 = mo.mul_mod(a0_ref[0], b0_ref[0], q, r32_ref[tau],
                         r32sh_ref[tau], m32_ref[tau])
         c1 = mo.sub_mod(mo.sub_mod(cr_ref[0], c0, q), c2_ref[0], q)
-        base = jnp.where(e == 0, c0, c1)
-        o_ref[0, 0] = mo.add_mod(base, d, q)
+        for e, base in ((0, c0), (1, c1)):
+            s = _fwd_core(x_ref[e, 0], tau, wr_ref[0], wc_ref[0], tw_ref[0],
+                          twsh_ref[0], q_ref, m32_ref, c_ref, ratio_ref)
+            d = mo.sub_mod(xq_ref[e, 0], s, q)
+            d = mo.mul_mod_shoup_fast(d, pv_ref[tau], pvsh_ref[tau], q)
+            o_ref[e, 0] = mo.add_mod(base, d, q)
 
     return pl.pallas_call(
         kern,
-        grid=(kql, 2),
+        grid=(kql,),
         in_specs=_smem_specs(8) + [
-            _w_spec((kara.KARA_GROUPS, 2 * r, r), lambda i, e: (i, 0, 0, 0)),
-            _w_spec((kara.KARA_GROUPS, 2 * c, c), lambda i, e: (i, 0, 0, 0)),
-            _w_spec((r, c), lambda i, e: (i, 0, 0)),
-            _w_spec((r, c), lambda i, e: (i, 0, 0)),
-            pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+            _w_spec((kara.KARA_GROUPS, 2 * r, r), lambda i: (i, 0, 0, 0)),
+            _w_spec((kara.KARA_GROUPS, 2 * c, c), lambda i: (i, 0, 0, 0)),
+            _w_spec((r, c), lambda i: (i, 0, 0)),
+            _w_spec((r, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((2, 1, r, c), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+            pl.BlockSpec((2, 1, r, c), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            _w_spec((r, c), lambda i, e: (i, 0, 0)),
-            _w_spec((r, c), lambda i, e: (i, 0, 0)),
-            _w_spec((r, c), lambda i, e: (i, 0, 0)),
-            _w_spec((r, c), lambda i, e: (i, 0, 0)),
+            _w_spec((r, c), lambda i: (i, 0, 0)),
+            _w_spec((r, c), lambda i: (i, 0, 0)),
+            _w_spec((r, c), lambda i: (i, 0, 0)),
+            _w_spec((r, c), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+        out_specs=pl.BlockSpec((2, 1, r, c), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, kql, r, c), jnp.uint32),
         interpret=INTERPRET,
