@@ -126,3 +126,22 @@ def test_keyswitch_core_fused_ns_int(ctx):
     r0, r1 = hybrid.keyswitch_core(c2, ek, tabs)
     assert jnp.array_equal(f0, r0)
     assert jnp.array_equal(f1, r1)
+
+
+def test_shoup_companions_device_exact():
+    """Device long-division Shoup companions == floor(v*2^32/q) for both
+    fused-range (27-bit) and max-range (31-bit) moduli."""
+    import numpy as np
+    from openfhe_tpu.pke.keys import EvalKey
+    rng = np.random.default_rng(0)
+    for mods in ([133160867, 133160831, 268435399],
+                 [2147483647, 536870909]):
+        q64 = np.array(mods, np.uint64).reshape(1, -1, 1)
+        v = (rng.integers(0, 1 << 62, size=(2, len(mods), 64))
+             .astype(np.uint64) % q64)
+        ek = EvalKey(bv=jnp.asarray(v.astype(np.uint32)),
+                     av=jnp.asarray(v.astype(np.uint32)), key_tag="t")
+        out = hybrid.shoup_companions(ek, mods)
+        want = ((v << np.uint64(32)) // q64).astype(np.uint32)
+        assert np.array_equal(np.asarray(out.bv_sh), want)
+        assert np.array_equal(np.asarray(out.av_sh), want)
