@@ -21,7 +21,8 @@ leading row axis (Q-layout kql/L rows, QlP-layout kqlp/L rows); kernels
 index rows locally, so one traced program serves every device.
 
 Requires kql % limb == 0 and kqlp % limb == 0 (size the chain to the
-mesh) and kara-compatible moduli. Set ks_fused.INTERPRET for CPU-mesh
+mesh), kara-compatible moduli, and ns_int == 1 (CKKS; the BGV t-multiply
+branch stays on the portable body). Set ks_fused.INTERPRET for CPU-mesh
 validation (tests/test_sharded_fused.py, __graft_entry__.dryrun_multichip).
 """
 

@@ -227,7 +227,9 @@ def shoup_companions(ek: EvalKey, moduli_qp) -> EvalKey:
     whole eval key through the host (2 x ~nd*kQP*N words), which
     dominated keygen."""
     mods = [int(m) for m in moduli_qp]
-    q = jnp.asarray(np.array(mods, np.uint32)).reshape(1, -1, 1)
+    # numpy (not device) constant: a device array closed over by jit is
+    # fetched back to host during lowering to embed as an MLIR constant
+    q = np.array(mods, np.uint32).reshape(1, -1, 1)
     chunk = max(1, 32 - max(mods).bit_length())
     bits = [chunk] * (32 // chunk)
     if sum(bits) < 32:
