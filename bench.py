@@ -38,10 +38,12 @@ BASELINE_CT_PER_S_1CORE = 1.49
 BASELINE_CT_PER_S_64CORE_EXTRAP = BASELINE_CT_PER_S_1CORE * 64
 
 # Rough speed-of-light accounting for one mult+relin at N=2^16/L=30
-# (kql=31, kp=11, 3 digits): 208 tower-transforms, each 2 Karatsuba-12
-# matmul stages of 2*0.5*256^3 MACs/limb-dot -> int8 ops; measured v5e
-# MXU int8 rate ~124 Tops/s (see PARITY.md "MFU accounting").
-TOWER_TRANSFORMS_PER_MULT = 208
+# (kql=31, kp=16, 2 digits): 31 + 63 + 32 + 62 = 188 tower-transforms,
+# each 2 Karatsuba-12 matmul stages of 2*0.5*256^3 MACs/limb-dot -> int8
+# ops; conservative MXU int8 rate (PARITY.md "MFU accounting"; round-4
+# in-chain data suggests the real rate is ~3x this, making the chain
+# VPU-epilogue-bound, see PERF.md).
+TOWER_TRANSFORMS_PER_MULT = 188
 INT8_OPS_PER_TRANSFORM = 12 * 2 * 2 * (256 ** 3) / 2   # 12 dots, 2 stages
 MEASURED_MXU_INT8_TOPS = 124e12
 
@@ -68,8 +70,13 @@ def bench_north():
 
     n = 1 << 16
     depth = 30
+    # num_large_digits=2: 63 K3-NTTs instead of 95 and a 25% smaller K2
+    # at the cost of 5 more P towers — measured +12% ct/s over 3 digits
+    # (still HEStd_128_classic: logQP 1238 bits < 1772 cap; P covers the
+    # 16-tower digit)
     p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=n, mult_depth=depth,
                  scaling_mod_size=26, first_mod_size=27, aux_mod_size=27,
+                 num_large_digits=2,
                  security_level=SecurityLevel.HEStd_128_classic,
                  scaling_technique=ScalingTechnique.FIXEDMANUAL)
     cc = GenCryptoContext(p, seed=7)
@@ -113,7 +120,9 @@ def bench_north():
     def chain(a0, a1, b0, b1):
         def body(carry, _):
             return mult_relin(carry, b0, b1), 0
-        (o0, o1), _ = jax.lax.scan(body, (a0, a1), None, length=iters)
+        # unroll: measured +2.6% on v5e through the axon dispatch path
+        (o0, o1), _ = jax.lax.scan(body, (a0, a1), None, length=iters,
+                                   unroll=10)
         return o0, o1
 
     a0, a1 = ct_a.elements
@@ -164,7 +173,7 @@ def bench_north():
                  "mxu_mfu": round(mfu, 3),
                  "verified_bit_exact": verified,
                  "note": ("MFU = fraction of v5e int8 matmul "
-                          "speed-of-light for the 208 tower-transforms "
+                          "speed-of-light for the 188 tower-transforms "
                           "per mult+relin")})
     return ct_per_s
 

@@ -146,6 +146,17 @@ def mul_mod_shoup_fast(x, c, c_shoup, q):
     return jnp.where(t >= q, t - q, t)
 
 
+def mul_mod_shoup_lazy3(x, c, c_shoup, q):
+    """x * c mod q, LAZY: returns t in [0, 3q) — REQUIRES q < 2^30.
+
+    `mul_mod_shoup_fast` without the two conditional subtracts; use when
+    the consumer accumulates lazily (sums of k terms stay < 3k*q) or
+    feeds an epilogue that accepts any uint32 (barrett_u32 /
+    mul_mod_shoup*)."""
+    qhat = umulhi32_approx(x, c_shoup)
+    return x * c - qhat * q
+
+
 def barrett_u32(lo, q, m32):
     """Reduce a full uint32 value lo (< 2^32) to [0, q); m32=floor(2^32/q)."""
     v = umulhi32(lo, m32)

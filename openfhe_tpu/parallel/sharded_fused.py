@@ -295,7 +295,7 @@ def _conv_rows_kernel(w_ref, rq_ref, rm32_ref, rc_ref, rratio_ref,
 
 
 def _conv_digits_rows(y2, st: ShardedFusedTables, rows_loc: int,
-                      tile_b: int = 2048):
+                      tile_b: int = 4096):
     """K2 on local rows: y2 [nd*alpha, N] -> [rows_loc, N], rows (tau, j)
     tau-major with tau local."""
     nb = y2.shape[-1]
@@ -359,51 +359,46 @@ def _ntt_keymul_acc_sharded(conv4, c2_rows, st: ShardedFusedTables,
              conv_ref, c2_ref, bv_ref, bvsh_ref, av_ref, avsh_ref,
              o0_ref):
         tau = pl.program_id(0)
-        j = pl.program_id(1)
-        own = mask_ref[tau, j] != 0
-        s = jax.lax.cond(
-            own,
-            lambda: c2_ref[0],
-            lambda: ks_fused._fwd_core(
-                conv_ref[0, 0], tau, wr_ref[0], wc_ref[0],
-                tw_ref[0], twsh_ref[0],
-                q_ref, m32_ref, c_ref, ratio_ref, lazy_out=True))
         q = q_ref[tau]
-        t0 = mo.mul_mod_shoup_fast(s, bv_ref[0, 0], bvsh_ref[0, 0], q)
-        t1 = mo.mul_mod_shoup_fast(s, av_ref[0, 0], avsh_ref[0, 0], q)
-
-        @pl.when(j == 0)
-        def _():
-            o0_ref[0, 0] = t0
-            o0_ref[1, 0] = t1
-
-        @pl.when(j > 0)
-        def _():
-            o0_ref[0, 0] = mo.add_mod(o0_ref[0, 0], t0, q)
-            o0_ref[1, 0] = mo.add_mod(o0_ref[1, 0], t1, q)
+        acc0 = acc1 = None
+        for j in range(nd):
+            own = mask_ref[tau, j] != 0
+            s = jax.lax.cond(
+                own,
+                lambda: c2_ref[0],
+                lambda j=j: ks_fused._fwd_core(
+                    conv_ref[0, j], tau, wr_ref[0], wc_ref[0],
+                    tw_ref[0], twsh_ref[0],
+                    q_ref, m32_ref, c_ref, ratio_ref, lazy_out=True))
+            t0 = mo.mul_mod_shoup_fast(s, bv_ref[j, 0], bvsh_ref[j, 0], q)
+            t1 = mo.mul_mod_shoup_fast(s, av_ref[j, 0], avsh_ref[j, 0], q)
+            acc0 = t0 if acc0 is None else mo.add_mod(acc0, t0, q)
+            acc1 = t1 if acc1 is None else mo.add_mod(acc1, t1, q)
+        o0_ref[0, 0] = acc0
+        o0_ref[1, 0] = acc1
 
     ws = ks_fused._w_spec
     return pl.pallas_call(
         kern,
-        grid=(kqlp_loc, nd),
+        grid=(kqlp_loc,),
         in_specs=ks_fused._smem_specs(5) + [
-            ws((kara.KARA_GROUPS, 2 * r, r), lambda tau, j: (tau, 0, 0, 0)),
-            ws((kara.KARA_GROUPS, 2 * c, c), lambda tau, j: (tau, 0, 0, 0)),
-            ws((r, c), lambda tau, j: (tau, 0, 0)),
-            ws((r, c), lambda tau, j: (tau, 0, 0)),
-            pl.BlockSpec((1, 1, r, c), lambda tau, j: (tau, j, 0, 0),
+            ws((kara.KARA_GROUPS, 2 * r, r), lambda tau: (tau, 0, 0, 0)),
+            ws((kara.KARA_GROUPS, 2 * c, c), lambda tau: (tau, 0, 0, 0)),
+            ws((r, c), lambda tau: (tau, 0, 0)),
+            ws((r, c), lambda tau: (tau, 0, 0)),
+            pl.BlockSpec((1, nd, r, c), lambda tau: (tau, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            ws((r, c), lambda tau, j: (tau, 0, 0)),
-            pl.BlockSpec((1, 1, r, c), lambda tau, j: (j, tau, 0, 0),
+            ws((r, c), lambda tau: (tau, 0, 0)),
+            pl.BlockSpec((nd, 1, r, c), lambda tau: (0, tau, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, r, c), lambda tau, j: (j, tau, 0, 0),
+            pl.BlockSpec((nd, 1, r, c), lambda tau: (0, tau, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, r, c), lambda tau, j: (j, tau, 0, 0),
+            pl.BlockSpec((nd, 1, r, c), lambda tau: (0, tau, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, r, c), lambda tau, j: (j, tau, 0, 0),
+            pl.BlockSpec((nd, 1, r, c), lambda tau: (0, tau, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, 1, r, c), lambda tau, j: (0, tau, 0, 0),
+        out_specs=pl.BlockSpec((2, 1, r, c), lambda tau: (0, tau, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, kqlp_loc, r, c), jnp.uint32),
         interpret=ks_fused.INTERPRET,

@@ -339,8 +339,9 @@ def _intt_scale(x4, tabs: FusedKSTables, tower_offset: int, scale, scale_sh,
     """INTT + per-tower constant multiply. x4 [..., k + in_offset, R, C]
     (tower rows starting at `tower_offset` in the QlP table set and at
     `in_offset` in the input — lets K4 read ext's P rows in place with no
-    XLA slice); an optional leading element axis is batched through the
-    grid (weights amortized: tower is the outer grid dim). Returns
+    XLA slice); an optional leading element axis runs INSIDE each grid
+    step (one weight fetch per tower, K6-merge style — measured faster
+    than batching the element axis through the grid). Returns
     [..., k, R, C] COEFF."""
     r, c = tabs.r, tabs.c
     lead = x4.shape[:-3]
@@ -352,27 +353,29 @@ def _intt_scale(x4, tabs: FusedKSTables, tower_offset: int, scale, scale_sh,
              wci_ref, wri_ref, twi_ref, twish_ref, x_ref, o_ref):
         i = pl.program_id(0)
         tau = i + tower_offset
-        v = _inv_core(x_ref[0, 0], tau, wci_ref[0], wri_ref[0],
-                      twi_ref[0], twish_ref[0],
-                      q_ref, m32_ref, c_ref, ratio_ref, lazy_out=True)
-        o_ref[0, 0] = mo.mul_mod_shoup_fast(v, sc_ref[i], scsh_ref[i], q_ref[tau])
+        for e in range(rep):
+            v = _inv_core(x_ref[e, 0], tau, wci_ref[0], wri_ref[0],
+                          twi_ref[0], twish_ref[0],
+                          q_ref, m32_ref, c_ref, ratio_ref, lazy_out=True)
+            o_ref[e, 0] = mo.mul_mod_shoup_fast(v, sc_ref[i], scsh_ref[i],
+                                                q_ref[tau])
 
     off = tower_offset
     ioff = in_offset
     out = pl.pallas_call(
         kern,
-        grid=(k, rep),
+        grid=(k,),
         in_specs=_smem_specs(6) + [
             _w_spec((kara.KARA_GROUPS, 2 * c, c),
-                    lambda i, e: (i + off, 0, 0, 0)),
+                    lambda i: (i + off, 0, 0, 0)),
             _w_spec((kara.KARA_GROUPS, 2 * r, r),
-                    lambda i, e: (i + off, 0, 0, 0)),
-            _w_spec((r, c), lambda i, e: (i + off, 0, 0)),
-            _w_spec((r, c), lambda i, e: (i + off, 0, 0)),
-            pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i + ioff, 0, 0),
+                    lambda i: (i + off, 0, 0, 0)),
+            _w_spec((r, c), lambda i: (i + off, 0, 0)),
+            _w_spec((r, c), lambda i: (i + off, 0, 0)),
+            pl.BlockSpec((rep, 1, r, c), lambda i: (0, i + ioff, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, r, c), lambda i, e: (e, i, 0, 0),
+        out_specs=pl.BlockSpec((rep, 1, r, c), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rep, k, r, c), jnp.uint32),
         interpret=INTERPRET,
@@ -381,7 +384,7 @@ def _intt_scale(x4, tabs: FusedKSTables, tower_offset: int, scale, scale_sh,
     return out.reshape(lead + (k, r, c)) if lead else out[0]
 
 
-def _conv_digits(y_pad, tabs: FusedKSTables, tile_b: int = 2048):
+def _conv_digits(y_pad, tabs: FusedKSTables, tile_b: int = 4096):
     """K2: y_pad [nd, alpha, N] COEFF -> conv [nd, kqlp, N] COEFF, as one
     block-diagonal Karatsuba rowmod matmul over all digits (K = nd*alpha)."""
     nd, alpha, nb = y_pad.shape
@@ -454,66 +457,65 @@ def _conv_p_to_q(p_coeff, tabs: FusedKSTables, tile_b: int = 4096):
 
 def _ntt_keymul_acc(conv4, c2_4, bv4, bvsh4, av4, avsh4,
                     tabs: FusedKSTables):
-    """K3: returns ext [2, kqlp, R, C] EVAL (elements stacked)."""
+    """K3: returns ext [2, kqlp, R, C] EVAL (elements stacked).
+
+    The digit loop runs INSIDE each grid step (K6-merge style): one NTT
+    weight fetch per tower, register accumulation over digits instead of
+    a read-modify-write of the output block per digit."""
     kql, kp, nd, alpha = tabs.kql, tabs.kp, tabs.nd, tabs.alpha
     kqlp = kql + kp
     r, c = tabs.r, tabs.c
     kfull = tabs.k_q_full
 
-    def key_row(tau, j):
-        return (j, jnp.where(tau >= kql, tau + (kfull - kql), tau), 0, 0)
+    def key_row(tau):
+        return (0, jnp.where(tau >= kql, tau + (kfull - kql), tau), 0, 0)
 
     def kern(q_ref, m32_ref, c_ref, ratio_ref, kqlr_ref,
              wr_ref, wc_ref, tw_ref, twsh_ref,
              conv_ref, c2_ref, bv_ref, bvsh_ref, av_ref, avsh_ref,
              o0_ref):
         tau = pl.program_id(0)
-        j = pl.program_id(1)
-        # real tower count is an SMEM scalar so every level in a shape
-        # bucket shares one compiled kernel
-        end_j = jnp.minimum((j + 1) * alpha, kqlr_ref[0])
-        own = jnp.logical_and(tau >= j * alpha, tau < end_j)
-        s = jax.lax.cond(
-            own,
-            lambda: c2_ref[0],
-            lambda: _fwd_core(conv_ref[0, 0], tau, wr_ref[0], wc_ref[0],
-                              tw_ref[0], twsh_ref[0],
-                              q_ref, m32_ref, c_ref, ratio_ref,
-                              lazy_out=True))
         q = q_ref[tau]
-        t0 = mo.mul_mod_shoup_fast(s, bv_ref[0, 0], bvsh_ref[0, 0], q)
-        t1 = mo.mul_mod_shoup_fast(s, av_ref[0, 0], avsh_ref[0, 0], q)
-
-        @pl.when(j == 0)
-        def _():
-            o0_ref[0, 0] = t0
-            o0_ref[1, 0] = t1
-
-        @pl.when(j > 0)
-        def _():
-            o0_ref[0, 0] = mo.add_mod(o0_ref[0, 0], t0, q)
-            o0_ref[1, 0] = mo.add_mod(o0_ref[1, 0], t1, q)
+        acc0 = acc1 = None
+        for j in range(nd):
+            # real tower count is an SMEM scalar so every level in a
+            # shape bucket shares one compiled kernel
+            end_j = jnp.minimum((j + 1) * alpha, kqlr_ref[0])
+            own = jnp.logical_and(tau >= j * alpha, tau < end_j)
+            s = jax.lax.cond(
+                own,
+                lambda: c2_ref[0],
+                lambda j=j: _fwd_core(conv_ref[j, 0], tau, wr_ref[0],
+                                      wc_ref[0], tw_ref[0], twsh_ref[0],
+                                      q_ref, m32_ref, c_ref, ratio_ref,
+                                      lazy_out=True))
+            t0 = mo.mul_mod_shoup_fast(s, bv_ref[j, 0], bvsh_ref[j, 0], q)
+            t1 = mo.mul_mod_shoup_fast(s, av_ref[j, 0], avsh_ref[j, 0], q)
+            acc0 = t0 if acc0 is None else mo.add_mod(acc0, t0, q)
+            acc1 = t1 if acc1 is None else mo.add_mod(acc1, t1, q)
+        o0_ref[0, 0] = acc0
+        o0_ref[1, 0] = acc1
 
     ext = pl.pallas_call(
         kern,
-        grid=(kqlp, nd),
+        grid=(kqlp,),
         in_specs=_smem_specs(5) + [
             _w_spec((kara.KARA_GROUPS, 2 * r, r),
-                    lambda tau, j: (tau, 0, 0, 0)),
+                    lambda tau: (tau, 0, 0, 0)),
             _w_spec((kara.KARA_GROUPS, 2 * c, c),
-                    lambda tau, j: (tau, 0, 0, 0)),
-            _w_spec((r, c), lambda tau, j: (tau, 0, 0)),
-            _w_spec((r, c), lambda tau, j: (tau, 0, 0)),
-            pl.BlockSpec((1, 1, r, c), lambda tau, j: (j, tau, 0, 0),
+                    lambda tau: (tau, 0, 0, 0)),
+            _w_spec((r, c), lambda tau: (tau, 0, 0)),
+            _w_spec((r, c), lambda tau: (tau, 0, 0)),
+            pl.BlockSpec((nd, 1, r, c), lambda tau: (0, tau, 0, 0),
                          memory_space=pltpu.VMEM),
             _w_spec((r, c),
-                    lambda tau, j: (jnp.minimum(tau, kql - 1), 0, 0)),
-            pl.BlockSpec((1, 1, r, c), key_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, r, c), key_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, r, c), key_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, r, c), key_row, memory_space=pltpu.VMEM),
+                    lambda tau: (jnp.minimum(tau, kql - 1), 0, 0)),
+            pl.BlockSpec((nd, 1, r, c), key_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nd, 1, r, c), key_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nd, 1, r, c), key_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nd, 1, r, c), key_row, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, 1, r, c), lambda tau, j: (0, tau, 0, 0),
+        out_specs=pl.BlockSpec((2, 1, r, c), lambda tau: (0, tau, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, kqlp, r, c), jnp.uint32),
         interpret=INTERPRET,

@@ -1,14 +1,19 @@
 """Per-kernel attribution of the fused keyswitch chain at the north-star
-shape, by timing PREFIXES of the real mult_relin_fused chain.
+shape, by timing PREFIXES of the real mult_relin_fused chain with a
+production-style harness.
 
-Standalone kernel timings proved unreliable (they don't sum to the whole
-chain: HBM placement and scheduler context differ out-of-chain), so each
-kernel's cost is reported as the marginal delta between consecutive chain
-prefixes, timed with the same scan harness. Usage:
+Two generations of harness proved untrustworthy on the axon platform:
+standalone kernel timings sat at a ~0.5-0.9 ms floor regardless of
+content, and a scan carry built from at[0].set + a scalar extract added
+its own per-iteration cost. This version mirrors bench_north exactly:
+an unrolled lax.scan whose carry is two [kql, N] arrays DERIVED from the
+last kernel of the prefix (cheap slices + one broadcast add), so every
+prefix pays the same glue and the deltas isolate each kernel.
 
-    python tools/profile_ks.py
+    python tools/profile_ks.py [num_large_digits]
 """
 
+import sys
 import time
 
 import jax
@@ -22,22 +27,15 @@ from openfhe_tpu.pke.parameters import CCParams
 from openfhe_tpu.pke.keyswitch import ks_fused
 
 
-def timeit(fn, *args, iters=20, reps=3):
-    """Amortize dispatch: scan the prefix inside ONE jit with a serial
-    data dependency threaded through the first argument."""
-    def step(cv, _):
-        a0 = args[0].ravel().at[0].set(cv).reshape(args[0].shape)
-        out = fn(a0, *args[1:])
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return leaf.ravel()[0].astype(jnp.uint32), 0
-
-    looped = jax.jit(lambda *a: jax.lax.scan(
-        step, jnp.uint32(0), None, length=iters)[0])
-    out = looped(*args)
+def time_chain(body, x2, iters=30, reps=3):
+    looped = jax.jit(lambda a0, a1: jax.lax.scan(
+        lambda cv, _: (body(cv), 0), (a0, a1), None, length=iters,
+        unroll=10)[0])
+    out = looped(x2, x2)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = looped(*args)
+        out = looped(x2, x2)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / (reps * iters)
 
@@ -45,8 +43,10 @@ def timeit(fn, *args, iters=20, reps=3):
 def main():
     n = 1 << 16
     depth = 30
+    nd_req = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=n, mult_depth=depth,
                  scaling_mod_size=26, first_mod_size=27, aux_mod_size=27,
+                 num_large_digits=nd_req,
                  security_level=SecurityLevel.HEStd_128_classic,
                  scaling_technique=ScalingTechnique.FIXEDMANUAL)
     cc = GenCryptoContext(p, seed=7)
@@ -54,66 +54,74 @@ def main():
               | PKESchemeFeature.LEVELEDSHE)
     kp = cc.KeyGen()
     cc.EvalMultKeyGen(kp.secret_key)
-    tabs_all = cc.hybrid_tables(cc.size_ql(0))
-    tabs = tabs_all.fused
+    tabs = cc.hybrid_tables(cc.size_ql(0)).fused
     ek = cc.eval_mult_keys[kp.secret_key.key_tag]
 
     kql, kp_, nd, alpha = tabs.kql, tabs.kp, tabs.nd, tabs.alpha
     r, c = tabs.r, tabs.c
     n_ = r * c
     kqlp = kql + kp_
-    print(f"kql={kql} kp={kp_} nd={nd} alpha={alpha} R={r} C={c}")
+    print(f"kql={kql} kp={kp_} nd={nd} alpha={alpha} R={r} C={c} "
+          f"K3_ntts={nd * kqlp - kql}")
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.integers(0, 1 << 26, size=(kql, n)).astype(np.uint32))
+    x2 = jnp.asarray(rng.integers(0, 1 << 26, size=(kql, n))
+                     .astype(np.uint32))
 
     kfull_p = ek.bv.shape[1]
-    bv4 = ek.bv.reshape(nd, kfull_p, r, c)
-    av4 = ek.av.reshape(nd, kfull_p, r, c)
-    bvsh4 = ek.bv_sh.reshape(nd, kfull_p, r, c)
-    avsh4 = ek.av_sh.reshape(nd, kfull_p, r, c)
+    key4 = lambda a: a.reshape(-1, kfull_p, r, c)[:nd]
+    bv4, av4 = key4(ek.bv), key4(ek.av)
+    bvsh4, avsh4 = key4(ek.bv_sh), key4(ek.av_sh)
 
     def prefix(stages):
-        """The first `stages` kernels of mult_relin_fused (1..6)."""
-        def fn(a0, a1, b0, b1):
+        """First `stages` kernels; returns a [kql, N]-pair carry derived
+        from the LAST kernel's output."""
+        def fn(carry):
+            a0, a1 = carry
             a0_4, a1_4 = a0.reshape(kql, r, c), a1.reshape(kql, r, c)
-            b0_4, b1_4 = b0.reshape(kql, r, c), b1.reshape(kql, r, c)
-            c2x, cross, y = ks_fused._tensor_intt(a0_4, a1_4, b0_4, b1_4,
+            c2x, cross, y = ks_fused._tensor_intt(a0_4, a1_4, a0_4, a1_4,
                                                   tabs)
             if stages == 1:
-                return y
-            conv = ks_fused._conv_digits(ks_fused._pad_digits(y, tabs), tabs)
+                return (y.reshape(kql, n), cross.reshape(kql, n))
+            conv = ks_fused._conv_digits(ks_fused._pad_digits(y, tabs),
+                                         tabs)
             if stages == 2:
-                return conv
+                c3 = conv.reshape(nd, kqlp, n)
+                return (c3[0, :kql], c3[-1, :kql])
             conv4 = conv.reshape(nd, kqlp, r, c)
             ext = ks_fused._ntt_keymul_acc(conv4, c2x, bv4, bvsh4, av4,
                                            avsh4, tabs)
+            e3 = ext.reshape(2, kqlp, n)
             if stages == 3:
-                return ext
+                return (e3[0, :kql], e3[1, :kql])
             pc = ks_fused._intt_scale(ext, tabs, kql, tabs.pscale,
                                       tabs.pscale_sh, k=kp_, in_offset=kql)
             if stages == 4:
-                return pc
+                return (e3[0, :kql] + pc[0, 0].ravel()[0], e3[1, :kql])
             convq = ks_fused._conv_p_to_q(pc.reshape(2, kp_, n_), tabs)
             if stages == 5:
-                return convq
-            return ks_fused._ntt_submul_final(convq.reshape(2, kql, r, c),
-                                              ext, a0_4, b0_4, cross, c2x,
-                                              tabs)
-        return jax.jit(fn)
+                return (convq[0], convq[1])
+            out = ks_fused._ntt_submul_final(convq.reshape(2, kql, r, c),
+                                             ext, a0_4, a0_4, cross, c2x,
+                                             tabs)
+            return (out[0].reshape(kql, n), out[1].reshape(kql, n))
+        return fn
 
     names = ["K1t tensor_intt", "K2 conv_digits", "K3 ntt_keymul_acc",
              "K4 intt_scale(P)", "K5 conv_p_to_q", "K6f ntt_submul_final"]
     prev = 0.0
     for s in range(1, 7):
-        t = timeit(prefix(s), x, x, x, x)
+        t = time_chain(prefix(s), x2)
         print(f"prefix K1..{s}: {t*1e3:8.3f} ms   "
               f"+{(t-prev)*1e3:7.3f} ms  <- {names[s-1]}")
         prev = t
 
-    whole = jax.jit(lambda a0, a1, b0, b1: ks_fused.mult_relin_fused(
-        a0, a1, b0, b1, ek.bv, ek.av, ek.bv_sh, ek.av_sh, tabs))
-    t = timeit(whole, x, x, x, x)
+    def whole(carry):
+        a0, a1 = carry
+        return ks_fused.mult_relin_fused(a0, a1, x2, x2, ek.bv, ek.av,
+                                         ek.bv_sh, ek.av_sh, tabs)
+
+    t = time_chain(whole, x2)
     print(f"whole mult_relin_fused           {t*1e3:8.3f} ms"
           f"  ({1.0/t:.1f} ct/s)")
 
