@@ -429,11 +429,14 @@ def eval_acc_lmkcdey(params: RGSWParams, rgsw_keys, auto_keys: dict,
     m = 2 * big_n
     nh = big_n // 2
     log_gen = make_log_gen(big_n)
-    q_lwe = params.q_lwe
-    factor = m // q_lwe
     permute: dict = {}
     for i, ai in enumerate(np.asarray(a_vec, np.int64)):
-        v = ((int(q_lwe) - int(ai)) % q_lwe) * factor | 0x1
+        # automorphism index w = (2N - a_i) | 1, UNSCALED (reference
+        # rgsw-acc-lmkcdey.cpp EvalAcc :82): the 2N/q scaling enters via
+        # the key monomials X^{s_i * 2N/q}, so the conjugated exponent is
+        # s_i*(2N/q)*w = -s_i*a_i*(2N/q) + on-grid rounding error; scaling
+        # w as well would square the factor (wrong whenever q != 2N).
+        v = ((m - int(ai)) % m) | 0x1
         idx = log_gen[v % m]
         permute.setdefault(idx, []).append(i)
 

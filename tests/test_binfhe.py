@@ -161,3 +161,21 @@ def test_pubkey_encrypt_roundtrip():
     b = cc.Encrypt(pk, np.array([0, 1, 0, 1]))
     out = cc.EvalBinGate(BINGATE.AND, a, b)
     assert np.array_equal(cc.Decrypt(sk, out), np.array([0, 0, 0, 1]))
+
+
+def test_lmkcdey_q_not_2n():
+    """LMKCDEY with q != 2N (2N/q = 4, the production-paramset shape):
+    round-4 regression — the automorphism index must stay UNSCALED
+    (reference rgsw-acc-lmkcdey.cpp EvalAcc :82); scaling it by 2N/q
+    squares the factor and broke every STD*_LMKCDEY paramset."""
+    from openfhe_tpu.binfhe.constants import BINFHE_METHOD
+    cc = BinFHEContext(seed=3).GenerateBinFHEContextCustom(
+        n=16, N=256, q=128, q_bits=27, base_ks=25, base_g=512,
+        method=BINFHE_METHOD.LMKCDEY, num_auto_keys=10)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    m1 = jnp.array([0, 0, 1, 1], jnp.uint32)
+    m2 = jnp.array([0, 1, 0, 1], jnp.uint32)
+    got = cc.Decrypt(sk, cc.EvalBinGate(BINGATE.AND, cc.Encrypt(sk, m1),
+                                        cc.Encrypt(sk, m2)))
+    assert np.array_equal(got, np.asarray(m1) & np.asarray(m2))

@@ -15,20 +15,20 @@ OUT=BENCH.md
   echo '## bench.py all'
   echo '```'
 } > "$OUT"
-timeout 5400 python bench.py all 2>/dev/null | tee -a "$OUT"
+timeout 5400 python bench.py all 2>&1 | grep -v 'xla_bridge' | tee -a "$OUT"
 {
   echo '```'
   echo
   echo '## bench.py boot16 (production-scale bootstrap, N=2^16)'
   echo '```'
 } >> "$OUT"
-timeout 5400 python bench.py boot16 2>/dev/null | tee -a "$OUT"
+timeout 5400 python bench.py boot16 2>&1 | grep -v 'xla_bridge' | tee -a "$OUT"
 {
   echo '```'
   echo
   echo '## binfhe production paramsets (tools/check_binfhe_std.py)'
   echo '```'
 } >> "$OUT"
-timeout 5400 python tools/check_binfhe_std.py 2>/dev/null | tee -a "$OUT"
+timeout 5400 python tools/check_binfhe_std.py 2>&1 | grep -v 'xla_bridge' | tee -a "$OUT"
 echo '```' >> "$OUT"
 echo "recorded to $OUT"
