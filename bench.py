@@ -415,8 +415,13 @@ def bench_boot16():
 
     n = 1 << 16
     slots = 1 << 11
+    # first_mod_size=52 (not 56): composite splits it into 2x26-bit
+    # moduli, keeping the whole chain kara-compatible so the fused Pallas
+    # keyswitch engages — with 56 the 2x28-bit split forces the unfused
+    # XLA path, whose 50-tower N=2^16 program exceeds the remote compile
+    # service's request size cap (HTTP 413)
     p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=n,
-                 mult_depth=24, scaling_mod_size=50, first_mod_size=56,
+                 mult_depth=24, scaling_mod_size=50, first_mod_size=52,
                  aux_mod_size=26,
                  security_level=SecurityLevel.HEStd_NotSet,
                  scaling_technique=ScalingTechnique.COMPOSITESCALINGAUTO)
