@@ -161,7 +161,14 @@ class BinFHEContext:
                 auto_keys[j] = rgsw.keygen_auto(
                     self.next_rng(), self.rgsw, sk_n_eval,
                     pow(5, j, 2 * self.N), self.std)
-            self.bt_key = (rgsw_keys, auto_keys, w)
+            # unified key bank + permutation table: blind rotation runs as
+            # ONE compiled lax.scan over a host-precomputed schedule
+            # (rgsw.build_lmkcdey_schedule) — batchable across gates
+            self.bt_key = (
+                rgsw.lmkcdey_key_bank(self.rgsw, rgsw_keys, auto_keys, w),
+                jnp.asarray(rgsw.lmkcdey_perm_table(self.rgsw, w)),
+                w)
+            self._lmk_scan = jax.jit(rgsw.eval_acc_lmkcdey_scan)
 
     def _eval_acc(self, acc0, acc1, a, q_lwe: int | None = None):
         """Dispatch blind rotation on the configured method."""
@@ -174,20 +181,29 @@ class BinFHEContext:
             return rgsw.eval_acc_dm(params, ek, digits_r,
                                     getattr(self, "base_r", 23),
                                     acc0, acc1, a)
-        rgsw_keys, auto_keys, w = self.bt_key
+        # LMKCDEY: host-precomputed per-gate schedules (a pure function of
+        # the public a vector), padded to a shared bucketed length and run
+        # as ONE compiled scan — gates batch just like GINX
+        key_bank, perm_table, w = self.bt_key
         a_host = np.asarray(a, np.int64)
-        if a_host.ndim == 1:
-            return rgsw.eval_acc_lmkcdey(params, rgsw_keys, auto_keys, w,
-                                         acc0, acc1, a_host)
-        # LMKCDEY schedules depend on the public a vector, so batched
-        # inputs run per-row (GINX remains the batched TPU fast path)
-        outs0, outs1 = [], []
-        for r in range(a_host.shape[0]):
-            o0, o1 = rgsw.eval_acc_lmkcdey(params, rgsw_keys, auto_keys, w,
-                                           acc0[r], acc1[r], a_host[r])
-            outs0.append(o0)
-            outs1.append(o1)
-        return jnp.stack(outs0), jnp.stack(outs1)
+        lead = a_host.shape[:-1]
+        a2 = a_host.reshape(-1, a_host.shape[-1])
+        scheds = [rgsw.build_lmkcdey_schedule(params, row, w) for row in a2]
+        lmax = max(s.shape[0] for s in scheds)
+        lmax = -(-lmax // 128) * 128            # bucket: few jit variants
+        sched = np.stack([
+            np.concatenate([s, np.tile(rgsw.LMK_NOOP,
+                                       (lmax - s.shape[0], 1))])
+            for s in scheds])                   # [B, L, 5]
+        sched = jnp.asarray(np.ascontiguousarray(sched.transpose(1, 0, 2)))
+        big_n = self.N
+        c0 = jnp.broadcast_to(acc0, lead + (big_n,)).reshape(-1, big_n)
+        c1 = jnp.broadcast_to(acc1, lead + (big_n,)).reshape(-1, big_n)
+        if not lead:                            # single gate: no batch axis
+            c0, c1 = c0[0], c1[0]
+            sched = sched[:, 0]
+        o0, o1 = self._lmk_scan(params, key_bank, perm_table, sched, c0, c1)
+        return o0.reshape(lead + (big_n,)), o1.reshape(lead + (big_n,))
 
     # ------------------------------------------------------------------
     # encryption

@@ -421,6 +421,157 @@ def make_log_gen(big_n: int):
     return table
 
 
+def build_lmkcdey_schedule(params: RGSWParams, a_vec: np.ndarray,
+                           num_auto_keys: int) -> np.ndarray:
+    """Fixed-op-format LMKCDEY schedule for one public a-vector.
+
+    The automorphism/external-product order is a pure function of the
+    public a vector (rgsw-acc-lmkcdey.cpp EvalAcc :61-144), so it is
+    precomputed here as an [L, 5] int32 tensor of uniform steps and the
+    whole blind rotation runs as ONE compiled lax.scan
+    (eval_acc_lmkcdey_scan) — this is what makes LMKCDEY gates batchable
+    and TPU-fast (round-4 verdict task 4; the reference's host loop has
+    no analog).
+
+    Step fields: (perm_sel, key_sel, pass0, use_sum, add_b) with
+      perm_sel: row of lmkcdey_perm_table (0 identity, 1..w g=5^k,
+                w+1 conjugation g=2N-5)
+      key_sel : row of lmkcdey_key_bank (0 zero, 1..n RGSW(X^{s_j m}),
+                n+1+k automorphism key k)
+      new0 = pass0 ? perm(acc0) : sum_r NTT(digits)_r * key[r,0]
+      new1 = (use_sum ? sum_r NTT(digits)_r * key[r,1] : 0)
+             + (add_b ? perm(acc1) : 0)
+    EP steps: (0, 1+j, 0, 1, 0); AUTO steps: (k, n+1+k, 0, 1, 1);
+    the initial conjugation-permute: (w+1, 0, 1, 0, 1).
+    """
+    big_n = params.ring_dim
+    m = 2 * big_n
+    nh = big_n // 2
+    n = params.n_lwe
+    log_gen = make_log_gen(big_n)
+    permute: dict = {}
+    for i, ai in enumerate(np.asarray(a_vec, np.int64)):
+        v = ((m - int(ai)) % m) | 0x1
+        permute.setdefault(log_gen[v % m], []).append(i)
+
+    ops = []
+
+    def ep(j):
+        ops.append((0, 1 + j, 0, 1, 0))
+
+    def auto(k):                     # sigma_{5^k} with auto key k
+        ops.append((k, n + 1 + k, 0, 1, 1))
+
+    def auto0():                     # sigma_{2N-5} with auto key 0
+        ops.append((num_auto_keys + 1, n + 1 + 0, 0, 1, 1))
+
+    # initial conjugation permute of the accumulator (acc0 is zero at
+    # entry, so permuting both components matches the reference's
+    # acc1-only AutomorphismTransform)
+    ops.append((num_auto_keys + 1, 0, 1, 0, 1))
+    n_skips = 0
+    for i in range(nh - 1, 0, -1):
+        if -i in permute:
+            if n_skips:
+                auto(n_skips)
+                n_skips = 0
+            for j in permute[-i]:
+                ep(j)
+        n_skips += 1
+        if n_skips == num_auto_keys or i == 1:
+            auto(n_skips)
+            n_skips = 0
+    if m in permute:
+        for j in permute[m]:
+            ep(j)
+    auto0()
+    for i in range(nh - 1, 0, -1):
+        if i in permute:
+            if n_skips:
+                auto(n_skips)
+                n_skips = 0
+            for j in permute[i]:
+                ep(j)
+        n_skips += 1
+        if n_skips == num_auto_keys or i == 1:
+            auto(n_skips)
+            n_skips = 0
+    if 0 in permute:
+        for j in permute[0]:
+            ep(j)
+    return np.asarray(ops, np.int32)
+
+
+LMK_NOOP = np.array([0, 0, 1, 0, 1], np.int32)    # identity schedule step
+
+
+def lmkcdey_perm_table(params: RGSWParams, num_auto_keys: int) -> np.ndarray:
+    """[w+2, N] EVAL gather rows: 0 identity, k=1..w sigma_{5^k},
+    w+1 sigma_{2N-5}."""
+    from openfhe_tpu.lattice.automorph import eval_indices
+    big_n = params.ring_dim
+    m = 2 * big_n
+    rows = [np.arange(big_n, dtype=np.int32)]
+    for k in range(1, num_auto_keys + 1):
+        rows.append(eval_indices(big_n, pow(5, k, m)))
+    rows.append(eval_indices(big_n, (m - 5) % m))
+    return np.stack(rows)
+
+
+def lmkcdey_key_bank(params: RGSWParams, rgsw_keys, auto_keys: dict,
+                     num_auto_keys: int) -> jnp.ndarray:
+    """[1+n+w+1, d2, 2, N] unified key bank: row 0 zero (no-op), rows
+    1..n the RGSW keys, rows n+1+k the automorphism keys with their
+    digitsG-1 rows placed at EVEN unified rows (a-component digits) and
+    zero odd rows — so one masked step form serves both op kinds."""
+    d2 = params.digits_g2
+    n, big_n = params.n_lwe, params.ring_dim
+    w = num_auto_keys
+    auto_stack = jnp.stack([auto_keys[k] for k in range(w + 1)])
+    padded = jnp.zeros((w + 1, d2, 2, big_n), jnp.uint32)
+    padded = padded.at[:, 0::2].set(auto_stack)
+    zero = jnp.zeros((1, d2, 2, big_n), jnp.uint32)
+    return jnp.concatenate([zero, rgsw_keys, padded], axis=0)
+
+
+def eval_acc_lmkcdey_scan(params: RGSWParams, key_bank, perm_table,
+                          sched, acc0, acc1):
+    """LMKCDEY blind rotation as ONE lax.scan over uniform masked steps.
+
+    sched: [L, ..., 5] int32 (leading batch dims of acc broadcast; each
+    gate carries its own padded schedule). See build_lmkcdey_schedule.
+    """
+    b = params.basis
+    q = jnp.uint32(params.big_q)
+    mm_ = lambda x, y: mo.mul_mod(x, y, b.q[0], b.r32[0], b.r32_sh[0],
+                                  b.m32[0])
+
+    def step(carry, xs):
+        c0, c1 = carry
+        perm_sel, key_sel, pass0, use_sum, add_b = (
+            xs[..., i] for i in range(5))
+        perm = jnp.take(perm_table, perm_sel, axis=0)        # [..., N]
+        key = jnp.take(key_bank, key_sel, axis=0)            # [..., d2,2,N]
+        a_g = jnp.take_along_axis(jnp.broadcast_to(c0, perm.shape), perm,
+                                  axis=-1)
+        b_g = jnp.take_along_axis(jnp.broadcast_to(c1, perm.shape), perm,
+                                  axis=-1)
+        p0 = ntt_inv(a_g[..., None, :], b)[..., 0, :]
+        p1 = ntt_inv(b_g[..., None, :], b)[..., 0, :]
+        dct = signed_digit_decompose(params, p0, p1)         # [..., d2, N]
+        dct = ntt_fwd(dct[..., :, None, :], b)[..., :, 0, :]
+        s0 = lwe_tree_sum(mm_(dct, key[..., :, 0, :]), q)
+        s1 = lwe_tree_sum(mm_(dct, key[..., :, 1, :]), q)
+        new0 = jnp.where((pass0 > 0)[..., None], a_g, s0)
+        s1m = jnp.where((use_sum > 0)[..., None], s1, jnp.uint32(0))
+        bgm = jnp.where((add_b > 0)[..., None], b_g, jnp.uint32(0))
+        new1 = mo.add_mod(s1m, bgm, q)
+        return (new0, new1), None
+
+    (acc0, acc1), _ = jax.lax.scan(step, (acc0, acc1), sched)
+    return acc0, acc1
+
+
 def eval_acc_lmkcdey(params: RGSWParams, rgsw_keys, auto_keys: dict,
                      num_auto_keys: int, acc0, acc1, a_vec: np.ndarray):
     """LMKCDEY blind rotation for ONE ciphertext (host-scheduled — the

@@ -179,3 +179,54 @@ def test_lmkcdey_q_not_2n():
     got = cc.Decrypt(sk, cc.EvalBinGate(BINGATE.AND, cc.Encrypt(sk, m1),
                                         cc.Encrypt(sk, m2)))
     assert np.array_equal(got, np.asarray(m1) & np.asarray(m2))
+
+
+def test_lmkcdey_scan_matches_host_schedule():
+    """The compiled-scan LMKCDEY blind rotation (build_lmkcdey_schedule +
+    eval_acc_lmkcdey_scan) is bit-exact vs the host-scheduled oracle
+    (eval_acc_lmkcdey) on random accumulators and a-vectors, including a
+    q != 2N shape."""
+    import jax
+    from openfhe_tpu.binfhe import rgsw
+    from openfhe_tpu.ops.ntt import ntt_fwd
+
+    rng = np.random.default_rng(11)
+    for n, big_n, q, base_g in ((16, 128, 256, 128), (12, 128, 64, 512)):
+        from openfhe_tpu.math import nbtheory
+        big_q = nbtheory.previous_prime(1 << 27, 2 * big_n)
+        params = rgsw.make_rgsw_params(n, big_n, big_q, q, base_g)
+        key = jax.random.PRNGKey(5)
+        k1, k2, k3 = jax.random.split(key, 3)
+        s_lwe = rng.integers(-1, 2, size=n)
+        from openfhe_tpu.math import sampling
+        sk_n = sampling.to_residues(
+            jnp.asarray(rng.integers(-1, 2, size=big_n), jnp.int32),
+            params.basis)[0]
+        sk_n_eval = ntt_fwd(sk_n[None, None, :], params.basis)[0, 0]
+        rgsw_keys = rgsw.keygen_rgsw_monomial(
+            k1, params, sk_n_eval, [int(v) for v in s_lwe])
+        w = 6
+        auto_keys = {0: rgsw.keygen_auto(k2, params, sk_n_eval,
+                                         2 * big_n - 5)}
+        for j in range(1, w + 1):
+            auto_keys[j] = rgsw.keygen_auto(
+                jax.random.fold_in(k3, j), params, sk_n_eval,
+                pow(5, j, 2 * big_n))
+
+        bank = rgsw.lmkcdey_key_bank(params, rgsw_keys, auto_keys, w)
+        perm = jnp.asarray(rgsw.lmkcdey_perm_table(params, w))
+        for trial in range(2):
+            a_vec = rng.integers(0, q, size=n)
+            # acc0 starts at zero in every caller (the scan's initial
+            # conjugation step relies on it; see build_lmkcdey_schedule)
+            acc0 = jnp.zeros(big_n, jnp.uint32)
+            acc1 = jnp.asarray(
+                rng.integers(0, big_q, size=big_n).astype(np.uint32))
+            ref0, ref1 = rgsw.eval_acc_lmkcdey(
+                params, rgsw_keys, auto_keys, w, acc0, acc1, a_vec)
+            sched = jnp.asarray(
+                rgsw.build_lmkcdey_schedule(params, a_vec, w))
+            got0, got1 = rgsw.eval_acc_lmkcdey_scan(
+                params, bank, perm, sched, acc0, acc1)
+            assert jnp.array_equal(got0, ref0), (n, big_n, q, trial)
+            assert jnp.array_equal(got1, ref1), (n, big_n, q, trial)
