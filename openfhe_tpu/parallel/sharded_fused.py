@@ -460,9 +460,10 @@ def mult_relin_fused_local(a0, a1, b0, b1, st: ShardedFusedTables,
     a0_4, a1_4 = a0.reshape(kql_loc, r, c), a1.reshape(kql_loc, r, c)
     b0_4, b1_4 = b0.reshape(kql_loc, r, c), b1.reshape(kql_loc, r, c)
 
-    # K1t on local Q rows
-    c2x, cross, y_loc = ks_fused._tensor_intt(
-        a0_4, a1_4, b0_4, b1_4, _local_tabs_q_inv(st, kql_loc))
+    # K1t on local Q rows (slim 2-in/2-out form; the tensor terms are
+    # recomputed in K6f's epilogue, see ks_fused._ntt_submul_final)
+    c2x, y_loc = ks_fused._tensor_intt(
+        a1_4, b1_4, _local_tabs_q_inv(st, kql_loc))
 
     # mixing point 1: every digit's coefficients everywhere
     y = jax.lax.all_gather(y_loc.reshape(kql_loc, n), limb_axis,
@@ -500,6 +501,6 @@ def mult_relin_fused_local(a0, a1, b0, b1, st: ShardedFusedTables,
     xq = jax.lax.dynamic_slice_in_dim(ext_all, idx * kql_loc, kql_loc,
                                       axis=1).reshape(2, kql_loc, r, c)
     out = ks_fused._ntt_submul_final(
-        convq.reshape(2, kql_loc, r, c), xq, a0_4, b0_4, cross, c2x,
+        convq.reshape(2, kql_loc, r, c), xq, a0_4, a1_4, b0_4, b1_4,
         _local_tabs_q_fwd(st, kql_loc))
     return out[0].reshape(kql_loc, n), out[1].reshape(kql_loc, n)

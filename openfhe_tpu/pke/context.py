@@ -42,6 +42,93 @@ EVAL = 1
 COEFF = 0
 
 
+# ---------------------------------------------------------------------------
+# Jitted kernels behind the eager per-op API. The reference's per-op
+# CryptoContext surface IS its production path (cryptocontext.h:1871); on
+# the axon dispatch path every eager XLA op costs ~0.5-0.9 ms, so each
+# public op must issue its device compute as ONE jitted call. jax.jit's
+# internal cache buckets traces by tower count/shape (one kernel serves
+# every level); keys and tables are threaded as ARGUMENTS, not closure
+# constants, so compiled programs stay small (JitPipeline's docstring
+# explains why constant-embedding is fatal at production sizes).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _k_add(ea, eb, q):
+    na, nb = len(ea), len(eb)
+    return tuple(
+        mo.add_mod(ea[i], eb[i], q) if (i < na and i < nb)
+        else (ea[i] if i < na else eb[i])
+        for i in range(max(na, nb)))
+
+
+@jax.jit
+def _k_sub(ea, eb, q):
+    na, nb = len(ea), len(eb)
+    out = []
+    for i in range(max(na, nb)):
+        if i < na and i < nb:
+            out.append(mo.sub_mod(ea[i], eb[i], q))
+        elif i < na:
+            out.append(ea[i])
+        else:
+            out.append(mo.neg_mod(eb[i], q))
+    return tuple(out)
+
+
+@jax.jit
+def _k_mult_plain(elems, pt_poly, basis):
+    mm = lambda x: mo.mul_mod(x, pt_poly, basis.q, basis.r32,
+                              basis.r32_sh, basis.m32)
+    return tuple(mm(c) for c in elems)
+
+
+@jax.jit
+def _k_mult_relin_hybrid(a0, a1, b0, b1, ek, tabs):
+    """Tensor product + relinearization as one program (the north-star
+    op); engages the fused Pallas chain when the tables carry it."""
+    basis = tabs.basis_ql
+    if tabs.fused is not None and ek.bv_sh is not None:
+        from openfhe_tpu.pke.keyswitch import ks_fused
+        return ks_fused.mult_relin_fused(a0, a1, b0, b1, ek.bv, ek.av,
+                                         ek.bv_sh, ek.av_sh, tabs.fused)
+    mm = lambda x, y: mo.mul_mod(x, y, basis.q, basis.r32, basis.r32_sh,
+                                 basis.m32)
+    c0 = mm(a0, b0)
+    c2 = mm(a1, b1)
+    cross = mm(mo.add_mod(a0, a1, basis.q), mo.add_mod(b0, b1, basis.q))
+    c1 = mo.sub_mod(mo.sub_mod(cross, c0, basis.q), c2, basis.q)
+    d0, d1 = hybrid.keyswitch_core(c2, ek, tabs)
+    return mo.add_mod(c0, d0, basis.q), mo.add_mod(c1, d1, basis.q)
+
+
+@jax.jit
+def _k_relin_hybrid(e0, e1, e2, ek, tabs):
+    basis = tabs.basis_ql
+    d0, d1 = hybrid.keyswitch_core(e2, ek, tabs)
+    return mo.add_mod(e0, d0, basis.q), mo.add_mod(e1, d1, basis.q)
+
+
+@jax.jit
+def _k_automorph_hybrid(elems, idx, ek, tabs):
+    basis = tabs.basis_ql
+    rot = [jnp.take(c, idx, axis=-1) for c in elems]
+    d0, d1 = hybrid.keyswitch_core(rot[1], ek, tabs)
+    return mo.add_mod(rot[0], d0, basis.q), d1
+
+
+@jax.jit
+def _k_rescale(elems, steps):
+    """CKKS DropLastElementAndScale chain; `steps` is a tuple of
+    (basis, DropScaleTables) from the widest tower count down."""
+    from openfhe_tpu.lattice.dcrt import Poly
+    for basis, tab in steps:
+        elems = tuple(rt.drop_last_and_scale(Poly(c, EVAL), basis, tab).data
+                      for c in elems)
+    return elems
+
+
 class CryptoContext:
     """One instantiated scheme (parameters frozen, tables precomputed)."""
 
@@ -728,15 +815,8 @@ class CryptoContext:
             return self._eval_add_plain(a, b)
         a, b = self._adjust_pair(a, b)
         basis = self.basis_at(a.level)
-        n = max(len(a.elements), len(b.elements))
-        elems = []
-        for i in range(n):
-            if i < len(a.elements) and i < len(b.elements):
-                elems.append(mo.add_mod(a.elements[i], b.elements[i], basis.q))
-            else:
-                elems.append(a.elements[i] if i < len(a.elements)
-                             else b.elements[i])
-        return a.replace(elements=tuple(elems))
+        return a.replace(elements=_k_add(tuple(a.elements),
+                                         tuple(b.elements), basis.q))
 
     def EvalSub(self, a, b) -> Ciphertext:
         if isinstance(b, (int, float, complex)) and not isinstance(b, bool):
@@ -745,16 +825,8 @@ class CryptoContext:
             return self._eval_add_plain(a, b, negate=True)
         a, b = self._adjust_pair(a, b)
         basis = self.basis_at(a.level)
-        n = max(len(a.elements), len(b.elements))
-        elems = []
-        for i in range(n):
-            if i < len(a.elements) and i < len(b.elements):
-                elems.append(mo.sub_mod(a.elements[i], b.elements[i], basis.q))
-            elif i < len(a.elements):
-                elems.append(a.elements[i])
-            else:
-                elems.append(mo.neg_mod(b.elements[i], basis.q))
-        return a.replace(elements=tuple(elems))
+        return a.replace(elements=_k_sub(tuple(a.elements),
+                                         tuple(b.elements), basis.q))
 
     def EvalNegate(self, a: Ciphertext) -> Ciphertext:
         basis = self.basis_at(a.level)
@@ -882,6 +954,11 @@ class CryptoContext:
         assert len(ct.elements) == 3, "relin beyond degree 2 via chain"
         ek = self.eval_mult_keys[ct.key_tag]
         size = self.size_ql(ct.level)
+        if self.params.ks_technique == KeySwitchTechnique.HYBRID:
+            c0, c1 = _k_relin_hybrid(ct.elements[0], ct.elements[1],
+                                     ct.elements[2], ek,
+                                     self.hybrid_tables(size))
+            return ct.replace(elements=(c0, c1))
         d0, d1 = self._keyswitch_core(ct.elements[2], ek, size)
         basis = self.basis_at(ct.level)
         c0 = mo.add_mod(ct.elements[0], d0, basis.q)
@@ -893,6 +970,25 @@ class CryptoContext:
             return self._eval_mult_plain(a, self._encode_like_mult(a, b))
         if isinstance(b, Plaintext):
             return self._eval_mult_plain(a, b)
+        if (self.params.ks_technique == KeySwitchTechnique.HYBRID
+                and self.scheme != Scheme.BFVRNS_SCHEME
+                and len(a.elements) == 2 and len(b.elements) == 2):
+            # eager fast path: tensor + relin as ONE jitted dispatch
+            if self._auto():
+                if a.noise_deg == 2:
+                    a = self.ModReduce(a)
+                if b.noise_deg == 2:
+                    b = self.ModReduce(b)
+            a, b = self._adjust_pair(a, b, for_mult=True)
+            ek = self.eval_mult_keys[a.key_tag]
+            tabs = self.hybrid_tables(self.size_ql(a.level))
+            c0, c1 = _k_mult_relin_hybrid(a.elements[0], a.elements[1],
+                                          b.elements[0], b.elements[1],
+                                          ek, tabs)
+            return a.replace(elements=(c0, c1),
+                             noise_deg=a.noise_deg + b.noise_deg,
+                             scale=a.scale * b.scale,
+                             scale_int=a.scale_int * b.scale_int)
         return self.Relinearize(self.EvalMultNoRelin(a, b))
 
     def EvalSquare(self, a: Ciphertext) -> Ciphertext:
@@ -963,9 +1059,8 @@ class CryptoContext:
                                              level=ct.level,
                                              slots=pt.slots or ct.slots)
         basis = self.basis_at(ct.level)
-        mm = lambda x: mo.mul_mod(x, pt.poly, basis.q, basis.r32,
-                                  basis.r32_sh, basis.m32)
-        return ct.replace(elements=tuple(mm(c) for c in ct.elements),
+        elems = _k_mult_plain(tuple(ct.elements), pt.poly, basis)
+        return ct.replace(elements=elems,
                           noise_deg=ct.noise_deg + pt.noise_deg,
                           scale=ct.scale * pt.scale,
                           scale_int=ct.scale_int * pt.scale_int)
@@ -983,25 +1078,21 @@ class CryptoContext:
         if self.scheme == Scheme.BFVRNS_SCHEME:
             raise ValueError("ModReduce is not applicable to BFV")
         levels = 1 if levels is None else levels
-        from openfhe_tpu.lattice.dcrt import Poly
         d = getattr(self, "comp_deg", 1)
-        for _ in range(levels):
-            # one logical level = comp_deg tower drops (reference
-            # COMPOSITESCALING ModReduceInternalInPlace(compositeDegree))
-            elems = ct.elements
-            size = self.size_ql(ct.level)
-            scale = ct.scale
-            for j in range(d):
-                basis = self.basis_q.slice(0, size - j)
-                tab = self.rescale_tables(size - j)
-                elems = tuple(
-                    rt.drop_last_and_scale(Poly(c, EVAL), basis, tab).data
-                    for c in elems)
-                scale /= self.moduli_q[size - j - 1]
-            ct = ct.replace(elements=elems, level=ct.level + 1,
-                            noise_deg=max(1, ct.noise_deg - 1),
-                            scale=scale)
-        return ct
+        # one logical level = comp_deg tower drops (reference
+        # COMPOSITESCALING ModReduceInternalInPlace(compositeDegree));
+        # the whole drop chain runs as ONE jitted dispatch
+        size = self.size_ql(ct.level)
+        steps = []
+        scale = ct.scale
+        for i in range(levels * d):
+            steps.append((self.basis_q.slice(0, size - i),
+                          self.rescale_tables(size - i)))
+            scale /= self.moduli_q[size - i - 1]
+        elems = _k_rescale(tuple(ct.elements), tuple(steps))
+        return ct.replace(elements=elems, level=ct.level + levels,
+                          noise_deg=max(1, ct.noise_deg - levels),
+                          scale=scale)
 
     Rescale = ModReduce
     RescaleInPlace = ModReduce
@@ -1030,10 +1121,24 @@ class CryptoContext:
     # rotations (reference EvalRotate/EvalAtIndex, cryptocontext.h:2302)
     # ------------------------------------------------------------------
 
+    def _auto_idx(self, g: int):
+        """Device-cached automorphism gather table for exponent g."""
+        cache = self.__dict__.setdefault("_auto_idx_cache", {})
+        v = cache.get(g)
+        if v is None:
+            v = cache[g] = jnp.asarray(eval_indices(self.ring_dim, g))
+        return v
+
     def EvalAutomorphism(self, ct: Ciphertext, g: int) -> Ciphertext:
-        idx = jnp.asarray(eval_indices(self.ring_dim, g))
-        rot = [jnp.take(c, idx, axis=-1) for c in ct.elements]
+        idx = self._auto_idx(g)
         ek = self.eval_automorphism_keys[ct.key_tag][g]
+        if (self.params.ks_technique == KeySwitchTechnique.HYBRID
+                and len(ct.elements) == 2):
+            e0, e1 = _k_automorph_hybrid(
+                tuple(ct.elements), idx, ek,
+                self.hybrid_tables(self.size_ql(ct.level)))
+            return ct.replace(elements=(e0, e1))
+        rot = [jnp.take(c, idx, axis=-1) for c in ct.elements]
         d0, d1 = self._keyswitch_core(rot[1], ek, self.size_ql(ct.level))
         basis = self.basis_at(ct.level)
         return ct.replace(elements=(mo.add_mod(rot[0], d0, basis.q), d1))

@@ -279,30 +279,26 @@ def _inv_core(y, tau, wci, wri, twi, twish, q_ref, m32_ref, c_ref, ratio_ref,
                    canonical=not lazy_out)
 
 
-def _tensor_intt(a0_4, a1_4, b0_4, b1_4, tabs: FusedKSTables):
-    """Fused tensor-product + K1 for mult+relin.
+def _tensor_intt(a1_4, b1_4, tabs: FusedKSTables):
+    """Fused tensor-product + K1 for mult+relin — SLIM I/O form.
 
-    Per Q tower block: c2 = a1*b1 (VPA in VMEM), cross = (a0+a1)(b0+b1);
-    emits (c2 EVAL, cross EVAL, y = INTT(c2)*bhatinv COEFF). c0 = a0*b0 is
-    recomputed in the K6 epilogue (reference flow: rns-leveledshe.cpp
-    EvalMultCore + base-leveledshe.cpp relinearize)."""
+    Per Q tower block: c2 = a1*b1 (VPA in VMEM), y = INTT(c2)*bhatinv.
+    2 input + 2 output blocks per step (round-4 profile attributed K1t's
+    32% share to its old 4-in/3-out per-step structure, PERF.md); c0,
+    cross and c1 are recomputed in the K6 epilogue from a0/a1/b0/b1
+    (reference flow: rns-leveledshe.cpp EvalMultCore +
+    base-leveledshe.cpp relinearize)."""
     kql = tabs.kql
     r, c = tabs.r, tabs.c
 
     def kern(q_ref, m32_ref, c_ref, ratio_ref, r32_ref, r32sh_ref,
              sc_ref, scsh_ref, wci_ref, wri_ref, twi_ref, twish_ref,
-             a0_ref, a1_ref, b0_ref, b1_ref,
-             c2_ref, cr_ref, y_ref):
+             a1_ref, b1_ref, c2_ref, y_ref):
         i = pl.program_id(0)
         q = q_ref[i]
-        mm = lambda x, y: mo.mul_mod(x, y, q, r32_ref[i], r32sh_ref[i],
-                                     m32_ref[i])
-        a0, a1 = a0_ref[0], a1_ref[0]
-        b0, b1 = b0_ref[0], b1_ref[0]
-        c2 = mm(a1, b1)
-        cross = mm(mo.add_mod(a0, a1, q), mo.add_mod(b0, b1, q))
+        c2 = mo.mul_mod(a1_ref[0], b1_ref[0], q, r32_ref[i], r32sh_ref[i],
+                        m32_ref[i])
         c2_ref[0] = c2
-        cr_ref[0] = cross
         v = _inv_core(c2, i, wci_ref[0], wri_ref[0], twi_ref[0],
                       twish_ref[0], q_ref, m32_ref, c_ref, ratio_ref,
                       lazy_out=True)
@@ -318,20 +314,16 @@ def _tensor_intt(a0_4, a1_4, b0_4, b1_4, tabs: FusedKSTables):
             _w_spec((r, c), lambda i: (i, 0, 0)),
             _w_spec((r, c), lambda i: (i, 0, 0)),
             _w_spec((r, c), lambda i: (i, 0, 0)),
-            _w_spec((r, c), lambda i: (i, 0, 0)),
-            _w_spec((r, c), lambda i: (i, 0, 0)),
         ],
         out_specs=(_w_spec((r, c), lambda i: (i, 0, 0)),
-                   _w_spec((r, c), lambda i: (i, 0, 0)),
                    _w_spec((r, c), lambda i: (i, 0, 0))),
         out_shape=(jax.ShapeDtypeStruct((kql, r, c), jnp.uint32),
-                   jax.ShapeDtypeStruct((kql, r, c), jnp.uint32),
                    jax.ShapeDtypeStruct((kql, r, c), jnp.uint32)),
         interpret=INTERPRET,
     )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio, tabs.r32_q, tabs.r32_q_sh,
       tabs.bhatinv_q, tabs.bhatinv_q_sh,
       tabs.wci, tabs.wri, tabs.twi, tabs.twi_sh,
-      a0_4, a1_4, b0_4, b1_4)
+      a1_4, b1_4)
 
 
 def _intt_scale(x4, tabs: FusedKSTables, tower_offset: int, scale, scale_sh,
@@ -575,26 +567,32 @@ def _ntt_subscale(convq4, ext, tabs: FusedKSTables):
       tabs.wr, tabs.wc, tabs.tw, tabs.tw_sh, convq4, ext)
 
 
-def _ntt_submul_final(convq4, ext, a0_4, b0_4, cross4, c2x4,
+def _ntt_submul_final(convq4, ext, a0_4, a1_4, b0_4, b1_4,
                       tabs: FusedKSTables):
     """K6 variant ending a full mult+relin: per tower (both elements in
-    one grid step — c0/c1 and the NTT weights are shared, so the tensor
-    epilogue is computed once and weight DMA halves):
+    one grid step — the tensor terms and the NTT weights are shared):
         d_e = (ext[e] - NTT(convq[e])) * P^{-1}          (ApproxModDown)
-        c0  = a0*b0;  c1 = cross - c0 - c2
+        c0  = a0*b0;  c2 = a1*b1;  c1 = (a0+a1)(b0+b1) - c0 - c2
         out = (c0 + d_0, c1 + d_1)
-    Returns [2, kql, R, C] EVAL (the relinearized product ciphertext)."""
+    The whole tensor product lives here (and c2 in K1t) so K1t stays
+    2-in/2-out — its old 4-in/3-out structure was 32% of the chain
+    (PERF.md). Returns [2, kql, R, C] EVAL."""
     kql = tabs.kql
     r, c = tabs.r, tabs.c
 
     def kern(q_ref, m32_ref, c_ref, ratio_ref, r32_ref, r32sh_ref,
              pv_ref, pvsh_ref, wr_ref, wc_ref, tw_ref, twsh_ref,
-             x_ref, xq_ref, a0_ref, b0_ref, cr_ref, c2_ref, o_ref):
+             x_ref, xq_ref, a0_ref, a1_ref, b0_ref, b1_ref, o_ref):
         tau = pl.program_id(0)
         q = q_ref[tau]
-        c0 = mo.mul_mod(a0_ref[0], b0_ref[0], q, r32_ref[tau],
-                        r32sh_ref[tau], m32_ref[tau])
-        c1 = mo.sub_mod(mo.sub_mod(cr_ref[0], c0, q), c2_ref[0], q)
+        mm = lambda x, y: mo.mul_mod(x, y, q, r32_ref[tau],
+                                     r32sh_ref[tau], m32_ref[tau])
+        a0, a1 = a0_ref[0], a1_ref[0]
+        b0, b1 = b0_ref[0], b1_ref[0]
+        c0 = mm(a0, b0)
+        c2 = mm(a1, b1)
+        cross = mm(mo.add_mod(a0, a1, q), mo.add_mod(b0, b1, q))
+        c1 = mo.sub_mod(mo.sub_mod(cross, c0, q), c2, q)
         for e, base in ((0, c0), (1, c1)):
             s = _fwd_core(x_ref[e, 0], tau, wr_ref[0], wc_ref[0], tw_ref[0],
                           twsh_ref[0], q_ref, m32_ref, c_ref, ratio_ref)
@@ -626,7 +624,7 @@ def _ntt_submul_final(convq4, ext, a0_4, b0_4, cross4, c2x4,
     )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio, tabs.r32_q, tabs.r32_q_sh,
       tabs.pinv_q, tabs.pinv_q_sh,
       tabs.wr, tabs.wc, tabs.tw, tabs.tw_sh,
-      convq4, ext, a0_4, b0_4, cross4, c2x4)
+      convq4, ext, a0_4, a1_4, b0_4, b1_4)
 
 
 # ---------------------------------------------------------------------------
@@ -704,7 +702,7 @@ def mult_relin_fused(a0, a1, b0, b1, bv, av, bv_sh, av_sh,
         a0, a1, b0, b1 = _pad(a0), _pad(a1), _pad(b0), _pad(b1)
     a0_4, a1_4 = a0.reshape(kql, r, c), a1.reshape(kql, r, c)
     b0_4, b1_4 = b0.reshape(kql, r, c), b1.reshape(kql, r, c)
-    c2x, cross, y = _tensor_intt(a0_4, a1_4, b0_4, b1_4, tabs)
+    c2x, y = _tensor_intt(a1_4, b1_4, tabs)
     conv = _conv_digits(_pad_digits(y, tabs), tabs)
     conv4 = conv.reshape(nd, kqlp, r, c)
     kfull_p = bv.shape[1]
@@ -717,6 +715,6 @@ def mult_relin_fused(a0, a1, b0, b1, bv, av, bv_sh, av_sh,
                      k=kp, in_offset=kql)
     convq = _conv_p_to_q(pc.reshape(2, kp, n), tabs)
     out = _ntt_submul_final(convq.reshape(2, kql, r, c), ext,
-                            a0_4, b0_4, cross, c2x, tabs)
+                            a0_4, a1_4, b0_4, b1_4, tabs)
     return (out[0].reshape(kql, n)[:kreal],
             out[1].reshape(kql, n)[:kreal])

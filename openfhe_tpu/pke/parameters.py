@@ -32,7 +32,11 @@ from openfhe_tpu.pke.constants import (EncryptionTechnique, ExecutionMode,
 from openfhe_tpu.lattice import stdlatticeparms
 
 MAX_MODULUS_BITS = 31          # device lanes are uint32; q < 2^31
-DEFAULT_AUX_MOD_BITS = 30      # special-prime (P) size for hybrid KS
+# Default modulus sizes are sized so DEFAULT-constructed contexts run the
+# production fused Pallas keyswitch (ops/kara.py caps moduli at ~2^26.99;
+# round-4 verdict: with 28/30 defaults the library's own production path
+# never engaged unless the user knew to ask for 26-bit chains).
+DEFAULT_AUX_MOD_BITS = 27      # special-prime (P) size for hybrid KS
 
 
 @dataclasses.dataclass
@@ -42,8 +46,8 @@ class CCParams:
     # ring / depth
     ring_dim: int = 0                          # 0 = derive from security level
     mult_depth: int = 1
-    scaling_mod_size: int = 28
-    first_mod_size: int = 30
+    scaling_mod_size: int = 26     # kara-compatible (fused KS engages)
+    first_mod_size: int = 27
     batch_size: int = 0                        # 0 = max slots
     # security
     security_level: SecurityLevel = SecurityLevel.HEStd_128_classic

@@ -127,24 +127,38 @@ def drop_last_and_scale_bgv(x: jnp.ndarray, basis: Basis,
                             sub_basis.q)
 
 
+import jax as _jax
+
+
+@_jax.jit
+def _k_bgv_drop_chain(elems, steps):
+    for basis, tab in steps:
+        elems = tuple(drop_last_and_scale_bgv(c, basis, tab)
+                      for c in elems)
+    return elems
+
+
 def mod_reduce(cc, ct: Ciphertext, levels: int | None = None) -> Ciphertext:
     t = cc.plaintext_modulus
     levels = levels if levels is not None else cc.bgv_drops_per_level
-    for _ in range(levels):
-        size = cc.size_ql(ct.level)
-        basis = cc.basis_at(ct.level)
+    # collect the whole drop chain, run it as ONE jitted dispatch (the
+    # eager per-op API is the product surface; see context._k_rescale)
+    steps = []
+    scale_int = ct.scale_int
+    level = ct.level
+    for i in range(levels):
+        size = cc.size_ql(level + i)
         key = size
         if key not in cc._bgv_drop_cache:
             cc._bgv_drop_cache[key] = make_bgv_drop_tables(
                 tuple(cc.moduli_q[:size]), t)
-        tab = cc._bgv_drop_cache[key]
-        new_elems = tuple(drop_last_and_scale_bgv(c, basis, tab)
-                          for c in ct.elements)
+        steps.append((cc.basis_at(level + i), cc._bgv_drop_cache[key]))
         ql = cc.moduli_q[size - 1]
-        ct = ct.replace(elements=new_elems, level=ct.level + 1,
-                        noise_deg=max(1, ct.noise_deg - 1),
-                        scale_int=(ct.scale_int * pow(ql % t, -1, t)) % t)
-    return ct
+        scale_int = (scale_int * pow(ql % t, -1, t)) % t
+    elems = _k_bgv_drop_chain(tuple(ct.elements), tuple(steps))
+    return ct.replace(elements=elems, level=level + levels,
+                      noise_deg=max(1, ct.noise_deg - levels),
+                      scale_int=scale_int)
 
 
 def level_factor(cc, level: int) -> int:

@@ -79,10 +79,9 @@ def main():
         def fn(carry):
             a0, a1 = carry
             a0_4, a1_4 = a0.reshape(kql, r, c), a1.reshape(kql, r, c)
-            c2x, cross, y = ks_fused._tensor_intt(a0_4, a1_4, a0_4, a1_4,
-                                                  tabs)
+            c2x, y = ks_fused._tensor_intt(a1_4, a1_4, tabs)
             if stages == 1:
-                return (y.reshape(kql, n), cross.reshape(kql, n))
+                return (y.reshape(kql, n), c2x.reshape(kql, n))
             conv = ks_fused._conv_digits(ks_fused._pad_digits(y, tabs),
                                          tabs)
             if stages == 2:
@@ -102,7 +101,7 @@ def main():
             if stages == 5:
                 return (convq[0], convq[1])
             out = ks_fused._ntt_submul_final(convq.reshape(2, kql, r, c),
-                                             ext, a0_4, a0_4, cross, c2x,
+                                             ext, a0_4, a1_4, a0_4, a1_4,
                                              tabs)
             return (out[0].reshape(kql, n), out[1].reshape(kql, n))
         return fn
