@@ -306,8 +306,12 @@ def bench_boot():
     # moduli — required for EvalMod precision on 32-bit lanes (reference
     # analog: 59-bit scales on NATIVE_SIZE=64; composite paths in
     # ckksrns-fhe.cpp:2290)
+    # first_mod_size = 51, NOT 56: the EvalMod signal is m/q0, so q0 must
+    # stay within ~2x of the scaling factor or the transform-noise floor
+    # eats log2(q0/scale) precision bits (round-4's 2.7-bit full-slot
+    # defect; see eval_bootstrap_setup's boost1 warning)
     p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=n,
-                 mult_depth=20, scaling_mod_size=50, first_mod_size=56,
+                 mult_depth=20, scaling_mod_size=50, first_mod_size=51,
                  aux_mod_size=26,
                  security_level=SecurityLevel.HEStd_NotSet,
                  scaling_technique=ScalingTechnique.COMPOSITESCALINGAUTO)
@@ -372,9 +376,9 @@ def bench_boot():
     finally:
         signal.alarm(0)
 
-    # full-slot packing at the same ring (validated: composite scaling
-    # carries the EvalMod noise floor; single-round ~10-12 bits, 2-round
-    # Meta-BTS doubles it — tests/test_composite_scaling.py)
+    # full-slot packing at the same ring (round-5: with q0 <= 2*scale the
+    # full-slot path clears the same precision class as sparse;
+    # tests/test_bootstrap.py::test_fullslot_precision)
     try:
         slots_f = n // 2
         cc.EvalBootstrapSetup(level_budget=(2, 2), slots=slots_f)
@@ -415,13 +419,14 @@ def bench_boot16():
 
     n = 1 << 16
     slots = 1 << 11
-    # first_mod_size=52 (not 56): composite splits it into 2x26-bit
+    # first_mod_size=51 (not 56): (a) composite splits it into 26+25-bit
     # moduli, keeping the whole chain kara-compatible so the fused Pallas
     # keyswitch engages — with 56 the 2x28-bit split forces the unfused
     # XLA path, whose 50-tower N=2^16 program exceeds the remote compile
-    # service's request size cap (HTTP 413)
+    # service's request size cap (HTTP 413); (b) q0 <= 2x scale keeps the
+    # EvalMod SNR (see bench_boot note)
     p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=n,
-                 mult_depth=24, scaling_mod_size=50, first_mod_size=52,
+                 mult_depth=24, scaling_mod_size=50, first_mod_size=51,
                  aux_mod_size=26,
                  security_level=SecurityLevel.HEStd_NotSet,
                  scaling_technique=ScalingTechnique.COMPOSITESCALINGAUTO)

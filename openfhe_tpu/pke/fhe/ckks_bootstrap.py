@@ -205,6 +205,17 @@ def eval_bootstrap_setup(cc, level_budget=(1, 1), dim1=(0, 0), slots: int = 0,
     sigma1 = cc.scf_real[n_levels - 1]
     correction = correction_factor
     boost1 = max(1, int(round(float(q0) / sigma1)))
+    if boost1 > 4:
+        import warnings
+        warnings.warn(
+            f"bootstrap SNR: first-level modulus q0 is {boost1}x the "
+            f"scaling factor; the EvalMod signal m/q0 shrinks by that "
+            f"factor while the transform noise floor does not, costing "
+            f"~log2({boost1}) = {math.log2(boost1):.0f} precision bits "
+            f"(boost1 re-amplifies the message only AFTER the noise is "
+            f"mixed in). Size first_mod_size <= scaling_mod_size + 2 "
+            f"(reference: 60-bit q0 vs 59-bit scale, ckksrns-fhe.cpp).",
+            stacklevel=3)
     boost2 = 1 << correction
     v_factor = math.pow(2.0, -correction) * sigma1 / float(q0) \
         * boost1 * boost2

@@ -447,6 +447,86 @@ def _conv_p_to_q(p_coeff, tabs: FusedKSTables, tile_b: int = 4096):
       tabs.pconv_rm_ratio, p_coeff)
 
 
+def _intt_conv_p(ext, tabs: FusedKSTables, tile_b: int = 4096):
+    """K4+K5 fused: INTT+scale the P rows of ext into persistent VMEM
+    scratch (first kp grid steps, both elements), then the P->Ql Karatsuba
+    rowmod matmul per (element, column tile) — the round-4 profile's
+    "fold K4+K5" lever (PERF.md): the [2, kp, N] COEFF intermediate never
+    round-trips HBM and one kernel dispatch replaces two.
+
+    ext [2, kqlp, R, C] EVAL -> [2, kql, N] COEFF (= old K5 output)."""
+    kql, kp = tabs.kql, tabs.kp
+    r, c = tabs.r, tabs.c
+    n = r * c
+    tb = min(tile_b, n)
+    nb_t = n // tb
+    rpt = tb // c                      # scratch rows per column tile
+
+    def kern(q_ref, m32_ref, c_ref, ratio_ref, sc_ref, scsh_ref,
+             rq_ref, rm32_ref, rc_ref, rratio_ref, w_ref,
+             wci_ref, wri_ref, twi_ref, twish_ref, x_ref, o_ref, pc_ref):
+        s = pl.program_id(0)
+
+        @pl.when(s < kp)
+        def _():
+            tau = s + kql
+            for e in range(2):
+                v = _inv_core(x_ref[e, 0], tau, wci_ref[0], wri_ref[0],
+                              twi_ref[0], twish_ref[0],
+                              q_ref, m32_ref, c_ref, ratio_ref,
+                              lazy_out=True)
+                pc_ref[e, s] = mo.mul_mod_shoup_fast(
+                    v, sc_ref[s], scsh_ref[s], q_ref[tau])
+
+        @pl.when(s >= kp)
+        def _():
+            e = (s - kp) // nb_t
+            b = (s - kp) % nb_t
+            xm = pc_ref[e, :, pl.ds(b * rpt, rpt), :].reshape(kp, tb)
+            ps = nf._kara_nn(w_ref[...], xm)
+            cv = [rc_ref[i] for i in range(kara.NSRC)]
+            rv = [rratio_ref[i] for i in range(kara.NSRC)]
+            o_ref[0] = kara.kara_recombine(ps, rq_ref[...], cv, rv,
+                                           rm32_ref[...])
+
+    def x_row(s):
+        return (0, kql + jnp.minimum(s, kp - 1), 0, 0)
+
+    def o_idx(s):
+        past = jnp.maximum(s - kp, 0)
+        return (jnp.clip(past // nb_t, 0, 1), 0, past % nb_t)
+
+    return pl.pallas_call(
+        kern,
+        grid=(kp + 2 * nb_t,),
+        in_specs=_smem_specs(6) + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rowmod q [kql, 1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # c [9, kql, 1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w [3, 2*kql, kp]
+            _w_spec((kara.KARA_GROUPS, 2 * c, c),
+                    lambda s: (kql + jnp.minimum(s, kp - 1), 0, 0, 0)),
+            _w_spec((kara.KARA_GROUPS, 2 * r, r),
+                    lambda s: (kql + jnp.minimum(s, kp - 1), 0, 0, 0)),
+            _w_spec((r, c), lambda s: (kql + jnp.minimum(s, kp - 1), 0, 0)),
+            _w_spec((r, c), lambda s: (kql + jnp.minimum(s, kp - 1), 0, 0)),
+            pl.BlockSpec((2, 1, r, c), x_row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, kql, tb), o_idx,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, kql, n), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((2, kp, r, c), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio,
+      tabs.pscale, tabs.pscale_sh,
+      tabs.pconv_rm_q, tabs.pconv_rm_m32, tabs.pconv_rm_c,
+      tabs.pconv_rm_ratio, tabs.pconv_w,
+      tabs.wci, tabs.wri, tabs.twi, tabs.twi_sh, ext)
+
+
 def _ntt_keymul_acc(conv4, c2_4, bv4, bvsh4, av4, avsh4,
                     tabs: FusedKSTables):
     """K3: returns ext [2, kqlp, R, C] EVAL (elements stacked).
@@ -662,10 +742,9 @@ def keyswitch_core_fused(c2: jnp.ndarray, bv, av, bv_sh, av_sh,
     bvsh4 = bv_sh.reshape(-1, kfull_p, r, c)[:nd]
     avsh4 = av_sh.reshape(-1, kfull_p, r, c)[:nd]
     ext = _ntt_keymul_acc(conv4, c2_4, bv4, bvsh4, av4, avsh4, tabs)
-    # K4-K6: ApproxModDown, both elements batched through each kernel
-    pc = _intt_scale(ext, tabs, kql, tabs.pscale, tabs.pscale_sh,
-                     k=kp, in_offset=kql)
-    convq = _conv_p_to_q(pc.reshape(2, kp, n), tabs)    # [2, kql, N]
+    # K4+K5 fused: ApproxModDown's P-part INTT feeds the P->Q conversion
+    # entirely in VMEM
+    convq = _intt_conv_p(ext, tabs)                     # [2, kql, N]
     out = _ntt_subscale(convq.reshape(2, kql, r, c), ext, tabs)
     return (out[0].reshape(kql, n)[:kreal],
             out[1].reshape(kql, n)[:kreal])
@@ -711,9 +790,7 @@ def mult_relin_fused(a0, a1, b0, b1, bv, av, bv_sh, av_sh,
                           bv_sh.reshape(-1, kfull_p, r, c)[:nd],
                           av.reshape(-1, kfull_p, r, c)[:nd],
                           av_sh.reshape(-1, kfull_p, r, c)[:nd], tabs)
-    pc = _intt_scale(ext, tabs, kql, tabs.pscale, tabs.pscale_sh,
-                     k=kp, in_offset=kql)
-    convq = _conv_p_to_q(pc.reshape(2, kp, n), tabs)
+    convq = _intt_conv_p(ext, tabs)
     out = _ntt_submul_final(convq.reshape(2, kql, r, c), ext,
                             a0_4, a1_4, b0_4, b1_4, tabs)
     return (out[0].reshape(kql, n)[:kreal],

@@ -29,12 +29,45 @@ CONFIGS = [
     ("STD128", "GINX"),
     ("STD128_LMKCDEY", "LMKCDEY"),
     ("STD192", "GINX"),
+    # STD192_LMKCDEY needs a 39-bit accumulator modulus (> uint32 lanes;
+    # reference runs it on NATIVE_SIZE=64) — STD256_LMKCDEY (29-bit Q) is
+    # the highest-security LMKCDEY row that fits 32-bit device words
+    ("STD256_LMKCDEY", "LMKCDEY"),
+    ("STD256", "GINX"),
 ]
+
+# Per-config wall budget: one slow/broken paramset must not eat the rest
+# of the sweep (round-4: the 250 s/gate LMKCDEY EvalFunc loop starved the
+# STD192 rows out of the 5400 s section budget).
+CONFIG_BUDGET_S = 1500
 
 
 def main():
+    import signal
     failures = 0
     for pset, method in CONFIGS:
+        def _alarm(signum, frame):
+            raise TimeoutError(f"{pset} exceeded {CONFIG_BUDGET_S}s")
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(CONFIG_BUDGET_S)
+        try:
+            run_config(pset, method)
+        except TimeoutError as e:
+            failures += 1
+            print(f"{pset:16s} {method:8s} TIMEOUT: {e}")
+        except Exception as e:
+            failures += 1
+            print(f"{pset:16s} {method:8s} ERROR: {type(e).__name__}: {e}")
+        finally:
+            signal.alarm(0)
+
+    if failures:
+        raise SystemExit(f"{failures} FAILURES")
+    print("ALL PARAMSETS OK")
+
+
+def run_config(pset, method):
+        failures = 0
         cc = BinFHEContext(seed=3).GenerateBinFHEContext(pset, method=method)
         sk = cc.KeyGen()
         t0 = time.perf_counter()
@@ -65,9 +98,10 @@ def main():
         print(f"{pset:16s} {method:8s} EvalFunc x^2 mod {p}: "
               f"{'PASS' if ok else 'FAIL'}  (got {got.tolist()})")
 
-        # gate throughput at batch 256 (single-gate latency for LMKCDEY,
-        # whose automorphism schedule is per-gate host-driven)
-        batch = 256 if method != "LMKCDEY" else 1
+        # gate throughput at batch 256 (LMKCDEY batches too now that the
+        # blind rotation is one compiled scan over per-gate schedules;
+        # batch 64 bounds its first-compile cost)
+        batch = 256 if method != "LMKCDEY" else 64
         ba = np.arange(batch) % 2
         bb = (np.arange(batch) // 2) % 2
         ca = cc.Encrypt(sk, ba)
@@ -86,10 +120,8 @@ def main():
         print(f"{pset:16s} {method:8s} AND batch{batch}: "
               f"{batch/dt:8.1f} gates/s ({dt*1e3/batch:.2f} ms/gate) "
               f"{'PASS' if ok else 'FAIL'}  [btkeygen {t_btk:.1f}s]")
-
-    if failures:
-        raise SystemExit(f"{failures} FAILURES")
-    print("ALL PARAMSETS OK")
+        if failures:
+            raise RuntimeError(f"{failures} gate failures")
 
 
 if __name__ == "__main__":

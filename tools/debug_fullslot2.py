@@ -146,3 +146,108 @@ if __name__ == "__main__":
     probe(n, 128)
     print(f"full N={n}", flush=True)
     probe(n, n // 2)
+
+
+def probe_s2c(n, slots, depth=20):
+    """Numpy-oracle the S2C tail: decrypt ctxt_mod, apply the ideal S2C in
+    numpy, and compare both against the homomorphic S2C output."""
+    p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=n,
+                 mult_depth=depth, scaling_mod_size=50, first_mod_size=56,
+                 aux_mod_size=26,
+                 security_level=SecurityLevel.HEStd_NotSet,
+                 scaling_technique=ScalingTechnique.COMPOSITESCALINGAUTO)
+    cc = GenCryptoContext(p, seed=7)
+    cc.Enable(PKESchemeFeature.PKE | PKESchemeFeature.KEYSWITCH
+              | PKESchemeFeature.LEVELEDSHE | PKESchemeFeature.ADVANCEDSHE
+              | PKESchemeFeature.FHE)
+    cc.EvalBootstrapSetup(level_budget=(2, 2), slots=slots)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    cc.EvalBootstrapKeyGen(kp.secret_key, slots)
+    rng = np.random.default_rng(0)
+    z = rng.uniform(-0.5, 0.5, size=slots)
+    ct = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(z, slots=slots))
+    ct = cc.LevelReduce(ct, depth - 2)
+    pr = cc._boot_precom[slots]
+    sk = kp.secret_key
+
+    # run the pipeline up to ctxt_mod + boost1 (copy of eval_bootstrap)
+    n_levels = len(cc.scf_real)
+    if ct.noise_deg > 1:
+        ct = cc.ModReduce(ct)
+    l_pen = n_levels - 2
+    ct1 = cc._scalar_mult_raw(ct, math.pow(2.0, -pr.correction),
+                              cc.scf_real[l_pen] ** 2 / ct.scale)
+    if ct1.level < l_pen:
+        ct1 = cc.LevelReduce(ct1, l_pen - ct1.level)
+    ct1 = cc.ModReduce(ct1)
+    raised = cb.mod_raise(cc, ct1)
+    raised = cc._scalar_mult_raw(raised, pr.runtime_scalar,
+                                 cc.scf_real[0] ** 2 / raised.scale)
+    if pr.sparse:
+        j = slots
+        while j < n // 2:
+            raised = cc.EvalAdd(raised, cc.EvalRotate(raised, j))
+            j <<= 1
+    raised = cc.ModReduce(raised)
+    ctxt_enc = fftt.eval_fft_stages(cc, raised, pr.c2s_stages, pr.pt_slots)
+    conj = cc.EvalConjugate(ctxt_enc)
+    if pr.sparse:
+        parts = [cc.ModReduce(cc.EvalAdd(ctxt_enc, conj))]
+    else:
+        enc_i = cb.mult_by_monomial(cc, cc.EvalSub(ctxt_enc, conj),
+                                    3 * slots)
+        parts = [cc.ModReduce(cc.EvalAdd(ctxt_enc, conj)),
+                 cc.ModReduce(enc_i)]
+    outs = []
+    for part in parts:
+        yv = cc.EvalChebyshevSeries(part, pr.cheb_coeffs, -1.0, 1.0)
+        if yv.noise_deg > 1:
+            yv = cc.ModReduce(yv)
+        outs.append(cb.apply_double_angle(cc, yv, pr.r_iters))
+    if pr.sparse:
+        ctxt_mod = outs[0]
+    else:
+        ctxt_mod = cc.EvalAdd(outs[0], cb.mult_by_monomial(cc, outs[1],
+                                                           slots))
+    if pr.boost1 > 1:
+        ctxt_mod = cb.mult_by_integer(cc, ctxt_mod, pr.boost1)
+
+    v_mod = np.asarray(cc.Decrypt(sk, ctxt_mod).values)[:pr.pt_slots
+                                                        if pr.sparse
+                                                        else slots]
+    # ideal S2C: slots hold v; coefficients-to-? For full packing,
+    # out_k = sum_j U0[k, j] * v_j * dec_scale
+    m = 4 * slots
+    omega = np.exp(2j * np.pi / m)
+    rot_group = np.array([pow(5, i, m) for i in range(slots)])
+    u0 = omega ** (np.outer(rot_group, np.arange(slots)) % m)
+    # recover dec_scale the way setup computed it
+    d = getattr(cc, "comp_deg", 1)
+    q0 = 1
+    for q in cc.moduli_q[:d]:
+        q0 *= q
+    sigma1 = cc.scf_real[n_levels - 1]
+    v_factor = math.pow(2.0, -pr.correction) * sigma1 / float(q0) \
+        * pr.boost1 * pr.boost2
+    dec_scale = 1.0 / v_factor
+    ideal = (u0 @ v_mod) * dec_scale / pr.boost2 / pr.boost1
+    # boost1 was applied to the ciphertext already; boost2 applied after
+    # S2C homomorphically -> fold both out of the oracle comparison:
+    # ideal_out should equal z
+    print(f"  numpy-S2C(dec(ctxt_mod)) vs z: "
+          f"err={np.abs(ideal.real[:slots] - z).max():.3e}", flush=True)
+
+    ctxt_dec = fftt.eval_fft_stages(cc, ctxt_mod, pr.s2c_stages,
+                                    pr.pt_slots)
+    ctxt_dec = cc.ModReduce(ctxt_dec)
+    if pr.sparse:
+        ctxt_dec = cc.EvalAdd(ctxt_dec, cc.EvalRotate(ctxt_dec, slots))
+    if pr.boost2 > 1:
+        ctxt_dec = cb.mult_by_integer(cc, ctxt_dec, pr.boost2)
+    got = np.asarray(cc.Decrypt(sk, ctxt_dec.replace(slots=slots)
+                                ).values).real[:slots]
+    print(f"  homomorphic S2C out vs z:      "
+          f"err={np.abs(got - z).max():.3e}", flush=True)
+    print(f"  homomorphic vs numpy-S2C:      "
+          f"err={np.abs(got - ideal.real[:slots]).max():.3e}", flush=True)

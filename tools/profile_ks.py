@@ -93,12 +93,8 @@ def main():
             e3 = ext.reshape(2, kqlp, n)
             if stages == 3:
                 return (e3[0, :kql], e3[1, :kql])
-            pc = ks_fused._intt_scale(ext, tabs, kql, tabs.pscale,
-                                      tabs.pscale_sh, k=kp_, in_offset=kql)
+            convq = ks_fused._intt_conv_p(ext, tabs)
             if stages == 4:
-                return (e3[0, :kql] + pc[0, 0].ravel()[0], e3[1, :kql])
-            convq = ks_fused._conv_p_to_q(pc.reshape(2, kp_, n_), tabs)
-            if stages == 5:
                 return (convq[0], convq[1])
             out = ks_fused._ntt_submul_final(convq.reshape(2, kql, r, c),
                                              ext, a0_4, a1_4, a0_4, a1_4,
@@ -107,9 +103,9 @@ def main():
         return fn
 
     names = ["K1t tensor_intt", "K2 conv_digits", "K3 ntt_keymul_acc",
-             "K4 intt_scale(P)", "K5 conv_p_to_q", "K6f ntt_submul_final"]
+             "K45 intt_conv_p", "K6f ntt_submul_final"]
     prev = 0.0
-    for s in range(1, 7):
+    for s in range(1, 6):
         t = time_chain(prefix(s), x2)
         print(f"prefix K1..{s}: {t*1e3:8.3f} ms   "
               f"+{(t-prev)*1e3:7.3f} ms  <- {names[s-1]}")
