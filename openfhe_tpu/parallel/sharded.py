@@ -151,6 +151,90 @@ def table_specs(tabs: ShardedMultTables, limb="limb") -> ShardedMultTables:
         kql=tabs.kql, kp=tabs.kp, nd=tabs.nd, alpha=tabs.alpha)
 
 
+@struct.dataclass
+class ShardedDropTables:
+    """CKKS rescale (DropLastElementAndScale) laid out for limb sharding.
+
+    Row layout keeps the FULL [kql] tower axis — the dropped tower's row
+    has qlinv = 0, so the output keeps a uniform sharded shape with that
+    row zeroed; callers track the logical size (the same bucketing
+    contract as ks_fused's kql_real)."""
+    basis_ql: Basis           # [kql] — sharded
+    basis_last: Basis         # [1] the dropped tower — replicated
+    qlinv: jnp.ndarray        # [kql, 1]; 0 on the dropped row — sharded
+    qlinv_sh: jnp.ndarray
+    ql_half_modqi: jnp.ndarray  # [kql, 1] — sharded
+    ql_half_modqi_sh: jnp.ndarray
+    ql_half: int = struct.field(pytree_node=False)
+    kql: int = struct.field(pytree_node=False)
+
+
+def make_sharded_drop_tables(cc, size_ql: int,
+                             pad_to: int | None = None) -> ShardedDropTables:
+    """Drop tower size_ql-1; rows padded to `pad_to` (zeros)."""
+    kb = pad_to or size_ql
+    moduli = [int(x) for x in cc.moduli_q[:size_ql]]
+    ql = moduli[-1]
+    rest = moduli[:-1]
+    half = ql >> 1
+    qlinv = np.zeros((kb, 1), np.uint64)
+    hmod = np.zeros((kb, 1), np.uint64)
+    mods = np.ones((kb, 1), np.uint64)
+    for i, q in enumerate(rest):
+        qlinv[i, 0] = pow(ql % q, -1, q)
+        hmod[i, 0] = half % q
+        mods[i, 0] = q
+    qi, qi_sh = _shoup_cols(qlinv, mods)
+    hm, hm_sh = _shoup_cols(hmod, mods)
+    return ShardedDropTables(
+        basis_ql=cc.basis_q.slice(0, kb),
+        basis_last=cc.basis_q.slice(size_ql - 1, size_ql),
+        qlinv=jnp.asarray(qi), qlinv_sh=jnp.asarray(qi_sh),
+        ql_half_modqi=jnp.asarray(hm), ql_half_modqi_sh=jnp.asarray(hm_sh),
+        ql_half=half, kql=kb)
+
+
+def drop_table_specs(dt: ShardedDropTables,
+                     limb: str = "limb") -> ShardedDropTables:
+    def basis_spec(b, axis):
+        return jax.tree_util.tree_map(lambda _: P(axis, None), b)
+
+    return ShardedDropTables(
+        basis_ql=basis_spec(dt.basis_ql, limb),
+        basis_last=basis_spec(dt.basis_last, None),
+        qlinv=P(limb, None), qlinv_sh=P(limb, None),
+        ql_half_modqi=P(limb, None), ql_half_modqi_sh=P(limb, None),
+        ql_half=dt.ql_half, kql=dt.kql)
+
+
+def drop_last_and_scale_local(x, dt: ShardedDropTables, drop_row: int,
+                              limb_axis: str = "limb"):
+    """shard_map-local CKKS rescale: x [kql_loc, N] EVAL sharded over
+    `limb_axis`; returns the same sharded shape with global row
+    `drop_row` zeroed (the in-region analog of rt.drop_last_and_scale —
+    round-4 verdict task 8: a depth chain must not leave the sharded
+    region to rescale).
+
+    The dropped tower's coefficient vector is broadcast with one psum
+    over the limb axis; everything else is tower-local."""
+    n_dev = jax.lax.psum(1, limb_axis)
+    idx = jax.lax.axis_index(limb_axis)
+    kql_loc = x.shape[0]
+    owner = drop_row // kql_loc
+    row = drop_row % kql_loc
+    # INTT of the (locally held) dropped row on every device, masked to
+    # the owner; basis_last is the true dropped tower's basis
+    u_own = _ntt_inv_vpu(x[row:row + 1, :], dt.basis_last)
+    u = jax.lax.psum(jnp.where(idx == owner, u_own, jnp.uint32(0)),
+                     limb_axis)                               # [1, N]
+    u_shift = mo.add_mod(u, jnp.uint32(dt.ql_half), dt.basis_last.q)
+    w = mo.barrett_u32(u_shift, dt.basis_ql.q, dt.basis_ql.m32)
+    w = mo.sub_mod(w, dt.ql_half_modqi, dt.basis_ql.q)
+    w = _ntt_fwd_vpu(w, dt.basis_ql)
+    diff = mo.sub_mod(x, w, dt.basis_ql.q)
+    return mo.mul_mod_shoup(diff, dt.qlinv, dt.qlinv_sh, dt.basis_ql.q)
+
+
 def _conv_rows(y_full, w, w_sh, q_col):
     """out[r] = sum_i y_full[i] * w[r, i] mod q_r (local rows).
 

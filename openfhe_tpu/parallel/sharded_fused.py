@@ -123,24 +123,36 @@ def _w_stack_pair(w: np.ndarray) -> np.ndarray:
                      np.stack([s02, s13])], axis=0)
 
 
-def make_sharded_fused_tables(cc, size_ql: int) -> ShardedFusedTables:
+def make_sharded_fused_tables(cc, size_ql: int,
+                              pad_to: int | None = None
+                              ) -> ShardedFusedTables:
     """Host precompute from a CryptoContext (mirrors
-    ks_fused.make_fused_ks_tables with shard-friendly layouts)."""
+    ks_fused.make_fused_ks_tables with shard-friendly layouts).
+
+    pad_to (>= size_ql): row axes get `pad_to` Q rows with ZERO weights
+    beyond the level's real towers — the sharded analog of ks_fused's
+    shape buckets, so a depth chain whose tower count stops dividing the
+    limb axis keeps a uniform sharded layout (round-4 verdict task 8:
+    "handle one non-divisible level")."""
     mq = [int(x) for x in cc.moduli_q[:size_ql]]
+    kb = pad_to or len(mq)
+    mq_pad = [int(x) for x in cc.moduli_q[:kb]]
     mp = [int(x) for x in cc.moduli_p]
-    mqlp = mq + mp
+    mqlp = mq_pad + mp
     kql, kp = len(mq), len(mp)
     k_full = len(cc.moduli_q)
     num_parts = cc.params.num_large_digits
     alpha = -(-k_full // num_parts)
     nd = min(-(-kql // alpha), num_parts)
+    nd_b = num_parts if kb > kql else nd
     n = cc.ring_dim
 
     t, kc = ks_fused._qlp_ntt_tables(tuple(mqlp), n)
     r, c = t["r"], t["c"]
 
-    # K1 epilogue + K6 epilogue constants (as in make_fused_ks_tables)
-    bhatinv = [0] * kql
+    # K1 epilogue + K6 epilogue constants (as in make_fused_ks_tables);
+    # zero on pad rows
+    bhatinv = [0] * kb
     for i, q in enumerate(mq):
         j = min(i // alpha, nd - 1)
         digits = mq[j * alpha:min((j + 1) * alpha, kql)]
@@ -148,18 +160,19 @@ def make_sharded_fused_tables(cc, size_ql: int) -> ShardedFusedTables:
         for b in digits:
             bj *= b
         bhatinv[i] = pow((bj // q) % q, -1, q)
-    bh, bh_sh = ks_fused._shoup_np(bhatinv, mq)
+    bh, bh_sh = ks_fused._shoup_np(bhatinv, mq_pad)
     big_p = 1
     for p_ in mp:
         big_p *= p_
     pinv, pinv_sh = ks_fused._shoup_np(
-        [pow(big_p % q, -1, q) for q in mq], mq)
+        [pow(big_p % q, -1, q) for q in mq] + [0] * (kb - kql), mq_pad)
     pscale = [pow((big_p // p_) % p_, -1, p_) for p_ in mp]
     ps, ps_sh = ks_fused._shoup_np(pscale, mp)
-    r32, r32_sh = ks_fused._shoup_np([(1 << 32) % q for q in mq], mq)
+    r32, r32_sh = ks_fused._shoup_np([(1 << 32) % q for q in mq_pad],
+                                     mq_pad)
 
     # K2 conv stack, TAU-MAJOR rows (tau, j) so the row axis shards by tau
-    wbd = np.zeros(((kql + kp) * nd, nd * alpha), np.uint64)
+    wbd = np.zeros(((kb + kp) * nd_b, nd_b * alpha), np.uint64)
     for j in range(nd):
         start, end = j * alpha, min((j + 1) * alpha, kql)
         digits = mq[start:end]
@@ -167,28 +180,30 @@ def make_sharded_fused_tables(cc, size_ql: int) -> ShardedFusedTables:
         for b in digits:
             bj *= b
         for tau, qt in enumerate(mqlp):
-            if start <= tau < end:
+            if start <= tau < end or (kql <= tau < kb):
                 continue
             for i, b in enumerate(digits):
-                wbd[tau * nd + j, j * alpha + i] = (bj // b) % qt
+                wbd[tau * nd_b + j, j * alpha + i] = (bj // b) % qt
     conv_w = _w_stack_pair(wbd)
     rm = kara.make_kara_rowmod_consts(
-        [q for q in mqlp for _ in range(nd)])
+        [q for q in mqlp for _ in range(nd_b)])
 
-    # K5 stack (row axis = kql, shards directly)
-    w5 = np.zeros((kql, kp), np.uint64)
+    # K5 stack (row axis = kb, shards directly; zero pad rows)
+    w5 = np.zeros((kb, kp), np.uint64)
     for i, q in enumerate(mq):
         for jj, p_ in enumerate(mp):
             w5[i, jj] = (big_p // p_) % q
     pconv_w = _w_stack_pair(w5)
-    rm5 = kara.make_kara_rowmod_consts(mq)
+    rm5 = kara.make_kara_rowmod_consts(mq_pad)
 
-    own = np.zeros((kql + kp, nd), np.int32)
+    own = np.zeros((kb + kp, nd_b), np.int32)
     for j in range(nd):
         own[j * alpha:min((j + 1) * alpha, kql), j] = 1
 
-    kcq = kara.make_kara_consts(mq)
+    kcq = kara.make_kara_consts(mq_pad)
     kcp = kara.make_kara_consts(mp)
+    nd = nd_b
+    kql = kb
 
     ek = next(iter(cc.eval_mult_keys.values()))
     lvl = lambda a: jnp.concatenate([a[:, :kql], a[:, k_full:]], axis=1)
