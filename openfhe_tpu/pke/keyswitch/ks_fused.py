@@ -279,15 +279,9 @@ def _inv_core(y, tau, wci, wri, twi, twish, q_ref, m32_ref, c_ref, ratio_ref,
                    canonical=not lazy_out)
 
 
-def _tensor_intt(a1_4, b1_4, tabs: FusedKSTables):
-    """Fused tensor-product + K1 for mult+relin — SLIM I/O form.
-
-    Per Q tower block: c2 = a1*b1 (VPA in VMEM), y = INTT(c2)*bhatinv.
-    2 input + 2 output blocks per step (round-4 profile attributed K1t's
-    32% share to its old 4-in/3-out per-step structure, PERF.md); c0,
-    cross and c1 are recomputed in the K6 epilogue from a0/a1/b0/b1
-    (reference flow: rns-leveledshe.cpp EvalMultCore +
-    base-leveledshe.cpp relinearize)."""
+def _tensor_intt_single(a1_4, b1_4, tabs: FusedKSTables):
+    """One-tower-per-step variant of _tensor_intt (fallback for odd local
+    tower counts in sharded table views)."""
     kql = tabs.kql
     r, c = tabs.r, tabs.c
 
@@ -324,6 +318,131 @@ def _tensor_intt(a1_4, b1_4, tabs: FusedKSTables):
       tabs.bhatinv_q, tabs.bhatinv_q_sh,
       tabs.wci, tabs.wri, tabs.twi, tabs.twi_sh,
       a1_4, b1_4)
+
+
+def _tensor_intt(a1_4, b1_4, tabs: FusedKSTables):
+    """Fused tensor-product + K1 for mult+relin — slim I/O, tower PAIRS.
+
+    Per grid step: TWO Q towers' c2 = a1*b1 and y = INTT(c2)*bhatinv.
+    Round-5 measurements (PERF.md): 1-transform-per-step shells pay
+    ~13 us/transform while K6f's 2-per-step gets 3.7 — the pairing lets
+    one tower's MXU stages run under the other's VPU epilogue. c0/cross/
+    c1 are recomputed in the K6 epilogue (reference flow:
+    rns-leveledshe.cpp EvalMultCore + base-leveledshe.cpp relinearize).
+
+    For odd kql the last pair's second slot computes a garbage transform
+    against the first P tower's tables (row kql exists in the QlP sets);
+    callers slice outputs to [:kql]."""
+    kql = tabs.kql
+    r, c = tabs.r, tabs.c
+    kk = kql + (kql & 1)                   # even padded row count
+    if kk > kql and not (tabs.kq.shape[0] > kql
+                         and tabs.r32_q.shape[0] > kql
+                         and tabs.wci.shape[0] > kql):
+        # odd tower count without a spare QlP row to lean on (sharded
+        # local table views): single-tower fallback
+        return _tensor_intt_single(a1_4, b1_4, tabs)
+    if kk > kql:
+        pad = jnp.zeros((1, r, c), jnp.uint32)
+        a1_4 = jnp.concatenate([a1_4, pad], axis=0)
+        b1_4 = jnp.concatenate([b1_4, pad], axis=0)
+
+    def kern(q_ref, m32_ref, c_ref, ratio_ref, r32_ref, r32sh_ref,
+             sc_ref, scsh_ref, wci_ref, wri_ref, twi_ref, twish_ref,
+             a1_ref, b1_ref, c2_ref, y_ref):
+        i = pl.program_id(0)
+        for t in range(2):
+            tau = 2 * i + t
+            q = q_ref[tau]
+            c2 = mo.mul_mod(a1_ref[t], b1_ref[t], q, r32_ref[tau],
+                            r32sh_ref[tau], m32_ref[tau])
+            c2_ref[t] = c2
+            v = _inv_core(c2, tau, wci_ref[t], wri_ref[t], twi_ref[t],
+                          twish_ref[t], q_ref, m32_ref, c_ref, ratio_ref,
+                          lazy_out=True)
+            s = jnp.minimum(tau, kql - 1)       # bhatinv has kql rows
+            y_ref[t] = mo.mul_mod_shoup_fast(v, sc_ref[s], scsh_ref[s], q)
+
+    c2x, y = pl.pallas_call(
+        kern,
+        grid=(kk // 2,),
+        in_specs=_smem_specs(8) + [
+            pl.BlockSpec((2, kara.KARA_GROUPS, 2 * c, c),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, kara.KARA_GROUPS, 2 * r, r),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, r, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, r, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, r, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, r, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((2, r, c), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((2, r, c), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((kk, r, c), jnp.uint32),
+                   jax.ShapeDtypeStruct((kk, r, c), jnp.uint32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio, tabs.r32_q, tabs.r32_q_sh,
+      tabs.bhatinv_q, tabs.bhatinv_q_sh,
+      tabs.wci, tabs.wri, tabs.twi, tabs.twi_sh,
+      a1_4, b1_4)
+    return c2x[:kql], y[:kql]
+
+
+def _intt_scale_pairs(x4, tabs: FusedKSTables, scale, scale_sh):
+    """Tower-paired INTT + constant multiply for the Q rows (the
+    rotation-path K1): two transforms per grid step, same rationale as
+    _tensor_intt. x4 [kql, R, C] -> [kql, R, C] COEFF."""
+    kql = tabs.kql
+    r, c = tabs.r, tabs.c
+    kk = kql + (kql & 1)
+    if kk > kql:
+        x4 = jnp.concatenate(
+            [x4, jnp.zeros((1, r, c), jnp.uint32)], axis=0)
+
+    def kern(q_ref, m32_ref, c_ref, ratio_ref, sc_ref, scsh_ref,
+             wci_ref, wri_ref, twi_ref, twish_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+        for t in range(2):
+            tau = 2 * i + t
+            v = _inv_core(x_ref[t], tau, wci_ref[t], wri_ref[t],
+                          twi_ref[t], twish_ref[t],
+                          q_ref, m32_ref, c_ref, ratio_ref, lazy_out=True)
+            s = jnp.minimum(tau, kql - 1)
+            o_ref[t] = mo.mul_mod_shoup_fast(v, sc_ref[s], scsh_ref[s],
+                                             q_ref[tau])
+
+    out = pl.pallas_call(
+        kern,
+        grid=(kk // 2,),
+        in_specs=_smem_specs(6) + [
+            pl.BlockSpec((2, kara.KARA_GROUPS, 2 * c, c),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, kara.KARA_GROUPS, 2 * r, r),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, r, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, r, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, r, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, r, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kk, r, c), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(tabs.kq, tabs.km32, tabs.kc, tabs.kratio, scale, scale_sh,
+      tabs.wci, tabs.wri, tabs.twi, tabs.twi_sh, x4)
+    return out[:kql]
 
 
 def _intt_scale(x4, tabs: FusedKSTables, tower_offset: int, scale, scale_sh,
@@ -728,8 +847,14 @@ def keyswitch_core_fused(c2: jnp.ndarray, bv, av, bv_sh, av_sh,
         c2 = jnp.concatenate(
             [c2, jnp.zeros((kql - kreal, n), jnp.uint32)], axis=0)
     c2_4 = c2.reshape(kql, r, c)
-    # K1: INTT + digit-local lift inverse
-    y = _intt_scale(c2_4, tabs, 0, tabs.bhatinv_q, tabs.bhatinv_q_sh)
+    # K1: INTT + digit-local lift inverse (tower pairs when the table set
+    # has a spare QlP row for odd kql)
+    if (kql % 2 == 0) or (tabs.kq.shape[0] > kql
+                          and tabs.wci.shape[0] > kql):
+        y = _intt_scale_pairs(c2_4, tabs, tabs.bhatinv_q,
+                              tabs.bhatinv_q_sh)
+    else:
+        y = _intt_scale(c2_4, tabs, 0, tabs.bhatinv_q, tabs.bhatinv_q_sh)
     # K2: extend every digit to the full QlP basis
     conv = _conv_digits(_pad_digits(y, tabs), tabs)     # [nd, kqlp, N]
     conv4 = conv.reshape(nd, kqlp, r, c)
