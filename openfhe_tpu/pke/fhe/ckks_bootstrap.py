@@ -226,10 +226,23 @@ def eval_bootstrap_setup(cc, level_budget=(1, 1), dim1=(0, 0), slots: int = 0,
     l_enc = max(1, min(int(level_budget[0]), log2s))
     l_dec = max(1, min(int(level_budget[1]), log2s))
 
+    # The staged (FFT-collapsed) transforms compose to U0 * P_bitrev —
+    # slots come out in bit-reversed order, which the staged inverse
+    # consumes (budget-independent, so any staged+staged combo is
+    # consistent; tests cover (3,2)/(2,3)). The dense diagonals are the
+    # natural-order U0. MIXING the kinds therefore decodes permuted
+    # garbage, so a mixed budget builds the budget-1 side as a ONE-STAGE
+    # staged transform (2s-1 diagonals instead of s — one level, same
+    # depth) and stays in the staged convention. The reference never
+    # exercises the mix (UnitTestBootstrap.cpp budgets: (1,1),(2,2),
+    # (3,2),(3,3),(4,4),(8,8)); we make it correct instead of silently
+    # wrong.
+    mixed = (l_enc == 1) != (l_dec == 1)
+
     c2s, s2c = [], []
     c2s_stages = s2c_stages = None
     pt_slots = 2 * slots if sparse else slots
-    if l_enc > 1:
+    if l_enc > 1 or mixed:
         c2s_stages, _ = fftt.build_c2s_stages(slots, n, l_enc, dim1[0],
                                               enc_scale)
     elif sparse:
@@ -239,7 +252,7 @@ def eval_bootstrap_setup(cc, level_budget=(1, 1), dim1=(0, 0), slots: int = 0,
     else:
         c2s = _bsgs_diagonals(u0h, slots, bstep_enc, enc_scale)
 
-    if l_dec > 1:
+    if l_dec > 1 or mixed:
         s2c_stages, _ = fftt.build_s2c_stages(slots, n, l_dec, dim1[1],
                                               dec_scale)
     elif sparse:

@@ -199,3 +199,26 @@ def test_fullslot_precision():
     dec = cc.Decrypt(kp.secret_key, out)
     prec = calculate_approximation_error(dec.values[:slots], z)
     assert prec >= 10.0, f"full-slot precision {prec:.1f} bits < 10"
+
+
+@pytest.mark.parametrize("budget", [(2, 1), (1, 2)],
+                         ids=["enc2dec1", "enc1dec2"])
+def test_bootstrap_mixed_budget(budget):
+    """MIXED level budgets (one side 1, the other staged): the staged
+    transforms compose to U0 * P_bitrev while the dense diagonals are
+    natural-order, so a naive mix decodes permuted garbage (round-5
+    finding; the reference never tests this mix). The setup now builds
+    the budget-1 side as a one-stage staged transform, keeping both
+    sides in one convention."""
+    n, slots = 256, 32
+    cc = make_boot_ctx(n, depth=20)
+    cc.EvalBootstrapSetup(level_budget=budget, slots=slots)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    cc.EvalBootstrapKeyGen(kp.secret_key, slots)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, slots)
+    ct = cc.Encrypt(kp.public_key, cc.MakeCKKSPackedPlaintext(x, slots=slots))
+    ct2 = cc.EvalBootstrap(ct)
+    dec = cc.Decrypt(kp.secret_key, ct2)
+    assert calculate_approximation_error(dec.values, x) > 4.0
