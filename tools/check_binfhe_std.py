@@ -72,7 +72,15 @@ def run_config(pset, method):
         sk = cc.KeyGen()
         t0 = time.perf_counter()
         cc.BTKeyGen(sk)
+        jax.block_until_ready(cc.bt_key)
         t_btk = time.perf_counter() - t0
+        # second keygen re-runs the same jitted programs: the delta to the
+        # first call is one-time XLA compile, not key assembly (round-4
+        # verdict weak #5: the 188.9 s figure was unattributed)
+        t0 = time.perf_counter()
+        cc.BTKeyGen(sk)
+        jax.block_until_ready(cc.bt_key)
+        t_btk_warm = time.perf_counter() - t0
         m1 = np.array([0, 0, 1, 1], np.uint32)
         m2 = np.array([0, 1, 0, 1], np.uint32)
         ct1 = cc.Encrypt(sk, m1)
@@ -119,7 +127,8 @@ def run_config(pset, method):
         failures += not ok
         print(f"{pset:16s} {method:8s} AND batch{batch}: "
               f"{batch/dt:8.1f} gates/s ({dt*1e3/batch:.2f} ms/gate) "
-              f"{'PASS' if ok else 'FAIL'}  [btkeygen {t_btk:.1f}s]")
+              f"{'PASS' if ok else 'FAIL'}  [btkeygen {t_btk:.1f}s "
+              f"cold / {t_btk_warm:.1f}s warm]")
         if failures:
             raise RuntimeError(f"{failures} gate failures")
 
