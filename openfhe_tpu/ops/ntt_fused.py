@@ -42,7 +42,9 @@ from openfhe_tpu.math import modops as mo
 from openfhe_tpu.ops import kara
 from openfhe_tpu.ops import ntt4step
 
-MIN_RING_DIM = 1 << 14
+# N=2^13 maps to R=128 x C=64 tiles — still MXU-shaped; N < 2^13 rings
+# use ops/ntt_small's whole-matrix transform instead
+MIN_RING_DIM = 1 << 13
 
 
 def supported(b: Basis) -> bool:

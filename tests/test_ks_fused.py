@@ -24,9 +24,10 @@ from openfhe_tpu.pke.parameters import CCParams
 from openfhe_tpu.pke.keyswitch import hybrid, ks_fused
 
 
-@pytest.fixture(scope="module")
-def ctx():
-    n = 1 << 14
+@pytest.fixture(scope="module", params=[1 << 14, 1 << 13],
+                ids=["n16k", "n8k"])
+def ctx(request):
+    n = request.param
     p = CCParams(scheme=Scheme.CKKSRNS_SCHEME, ring_dim=n, mult_depth=3,
                  scaling_mod_size=26, first_mod_size=27, aux_mod_size=27,
                  security_level=SecurityLevel.HEStd_NotSet,
