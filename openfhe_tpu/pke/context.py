@@ -118,6 +118,22 @@ def _k_automorph_hybrid(elems, idx, ek, tabs):
     return mo.add_mod(rot[0], d0, basis.q), d1
 
 
+@functools.partial(jax.jit, static_argnames=("dist", "ns"))
+def _k_encrypt_pk(rng, pk, basis, pt_poly, dist, ns):
+    c0, c1 = rns_pke.encrypt_zero_pk(rng, pk, basis, dist, ns_int=ns)
+    return mo.add_mod(c0, pt_poly, basis.q), c1
+
+
+@functools.partial(jax.jit, static_argnames=("ns",))
+def _k_encrypt_sk(rng, sk, basis, pt_poly, ns):
+    c0, c1 = rns_pke.encrypt_zero_sk(rng, sk, basis, ns_int=ns)
+    return mo.add_mod(c0, pt_poly, basis.q), c1
+
+
+_k_decrypt = jax.jit(lambda elems, sk, basis: rns_pke.decrypt_core(
+    elems, sk, basis))
+
+
 @jax.jit
 def _k_rescale(elems, steps):
     """CKKS DropLastElementAndScale chain; `steps` is a tuple of
@@ -581,20 +597,18 @@ class CryptoContext:
         ns = getattr(self, "noise_scale_int", 1)
         if isinstance(key, KeyPair):
             key = key.public_key
-        if isinstance(key, PublicKey):
-            c0, c1 = rns_pke.encrypt_zero_pk(
-                self.next_rng(), key, basis,
-                self.params.secret_key_dist, ns_int=ns)
-            tag = key.key_tag
-        else:
-            c0, c1 = rns_pke.encrypt_zero_sk(self.next_rng(), key, basis,
-                                             ns_int=ns)
-            tag = key.key_tag
         pt_poly = plaintext.poly
         if self.scheme == Scheme.BFVRNS_SCHEME:
             from openfhe_tpu.pke.schemes import bfv
             pt_poly = bfv.scale_plaintext_for_add(self, pt_poly)
-        c0 = mo.add_mod(c0, pt_poly, basis.q)
+        if isinstance(key, PublicKey):
+            c0, c1 = _k_encrypt_pk(self.next_rng(), key, basis, pt_poly,
+                                   dist=self.params.secret_key_dist, ns=ns)
+            tag = key.key_tag
+        else:
+            c0, c1 = _k_encrypt_sk(self.next_rng(), key, basis, pt_poly,
+                                   ns=ns)
+            tag = key.key_tag
         return Ciphertext(elements=(c0, c1), level=plaintext.level,
                           noise_deg=plaintext.noise_deg,
                           scale=plaintext.scale, slots=plaintext.slots,
@@ -605,7 +619,7 @@ class CryptoContext:
         from openfhe_tpu.pke.constants import (DecryptionNoiseMode,
                                                ExecutionMode)
         basis = self.basis_at(ct.level)
-        b = rns_pke.decrypt_core(ct.elements, sk, basis)
+        b = _k_decrypt(tuple(ct.elements), sk, basis)
         if self.scheme == Scheme.CKKSRNS_SCHEME:
             # CKKS noise-flooding decryption (reference NoiseFlooding:
             # constants-defs.h:131, ckks-noise-flooding.cpp): in evaluation
