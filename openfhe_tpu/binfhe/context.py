@@ -60,11 +60,29 @@ class BinFHEContext:
         self.std = p.std_dev
         self.base_ks = p.base_ks
         from openfhe_tpu.math import nbtheory
-        # LastPrime(bits, 2N): largest `bits`-bit prime = 1 mod 2N
-        self.Q = nbtheory.previous_prime(1 << p.number_bits, p.cyc_order)
+        self.wide = p.number_bits > 31
+        if self.wide:
+            # STD192-class sets need Q beyond 32-bit lanes: composite
+            # 2-tower RNS ring (rgsw_wide; reference runs these rows on
+            # NATIVE_SIZE=64 words)
+            if method != BINFHE_METHOD.GINX:
+                raise ValueError(
+                    f"{param_set} needs a {p.number_bits}-bit accumulator "
+                    "modulus; only GINX supports the composite-Q wide "
+                    "ring on 32-bit device words (AP/LMKCDEY: use a "
+                    "paramset with Q < 2^31, e.g. STD256_LMKCDEY)")
+            from openfhe_tpu.binfhe import rgsw_wide
+            self.rgsw_w = rgsw_wide.make_rgsw_wide_params(
+                self.n, self.N, p.number_bits, self.q, p.base_g)
+            self.Q = self.rgsw_w.big_q
+            self.rgsw = None
+        else:
+            # LastPrime(bits, 2N): largest `bits`-bit prime = 1 mod 2N
+            self.Q = nbtheory.previous_prime(1 << p.number_bits,
+                                             p.cyc_order)
+            self.rgsw = rgsw.make_rgsw_params(self.n, self.N, self.Q,
+                                              self.q, p.base_g)
         self.q_ks = self.Q if p.mod_ks == PRIME else p.mod_ks
-        self.rgsw = rgsw.make_rgsw_params(self.n, self.N, self.Q, self.q,
-                                          p.base_g)
         self.base_r = p.base_rk
         self.num_auto_keys = p.num_auto_keys
         self.gate_const = gate_constants(self.q)
@@ -88,9 +106,21 @@ class BinFHEContext:
         self.base_ks = base_ks
         self.base_r = base_r
         self.num_auto_keys = num_auto_keys
-        self.Q = nbtheory.previous_prime(1 << q_bits, 2 * N)
-        self.q_ks = self.Q
-        self.rgsw = rgsw.make_rgsw_params(n, N, self.Q, q, base_g)
+        self.wide = q_bits > 31
+        if self.wide:
+            if method != BINFHE_METHOD.GINX:
+                raise ValueError("composite-Q (q_bits > 31) supports GINX "
+                                 "only")
+            from openfhe_tpu.binfhe import rgsw_wide
+            self.rgsw_w = rgsw_wide.make_rgsw_wide_params(n, N, q_bits, q,
+                                                          base_g)
+            self.Q = self.rgsw_w.big_q
+            self.rgsw = None
+            self.q_ks = 1 << max(10, q_bits // 2 - 4)
+        else:
+            self.Q = nbtheory.previous_prime(1 << q_bits, 2 * N)
+            self.q_ks = self.Q
+            self.rgsw = rgsw.make_rgsw_params(n, N, self.Q, q, base_g)
         self.gate_const = gate_constants(q)
         return self
 
@@ -128,11 +158,27 @@ class BinFHEContext:
         key for the ring secret, per the configured method. With
         keygen_mode=PUB_ENCRYPT a public key for the ring secret is also
         generated and stored (binfhecontext.h:273 default SYM_ENCRYPT)."""
-        b = self.rgsw.basis
         sk_n = getattr(self, "sk_n", None)
         if sk_n is None:
             sk_n = lwe.key_gen(self.next_rng(), self.N)
             self.sk_n = sk_n
+        if getattr(self, "wide", False):
+            if keygen_mode == KEYGEN_MODE.PUB_ENCRYPT:
+                raise ValueError("public-key workflows are not supported "
+                                 "on composite-Q (wide) paramsets yet")
+            from openfhe_tpu.binfhe import rgsw_wide
+            from openfhe_tpu.math import sampling as _sampling
+            bw = self.rgsw_w.basis
+            sk_res = _sampling.to_residues(
+                jnp.asarray(np.asarray(sk_n.s), jnp.int32), bw)
+            sk_n_eval = ntt_fwd(sk_res, bw)
+            self.ks_key = lwe.key_switch_gen(self.next_rng(), sk, sk_n,
+                                             self.q_ks, self.base_ks,
+                                             self.std)
+            self.bt_key = rgsw_wide.keygen_cggi_pair_wide(
+                self.next_rng(), self.rgsw_w, sk_n_eval, sk.s, self.std)
+            return
+        b = self.rgsw.basis
         if keygen_mode == KEYGEN_MODE.PUB_ENCRYPT:
             self.pk = lwe.pub_key_gen(self.next_rng(), sk_n, self.Q)
         sk_n_res = jnp.asarray(
@@ -264,6 +310,64 @@ class BinFHEContext:
         m = m.at[..., ::factor].set(vals)
         return m
 
+    def _test_vector_wide(self, b, gate: BINGATE, p: int = 4):
+        """Wide (composite-Q) gate test polynomial: values live as
+        2-tower residues [..., 2, N] COEFF."""
+        q, big_q, big_n = self.q, self.Q, self.N
+        q_half = q >> 1
+        q1 = self.gate_const[int(gate)]
+        q2 = (q1 + q_half) % q
+        lb, ub, swap = (q2, q1, True) if q1 >= q2 else (q1, q2, False)
+        q2p = big_q // (p * 2) + 1
+        lv, uv = (q2p, big_q - q2p) if swap else (big_q - q2p, q2p)
+        factor = big_n // q_half
+        i_idx = jnp.arange(q_half, dtype=jnp.uint32)
+        bi = mo.sub_mod(b[..., None], i_idx, jnp.uint32(q))
+        inside = (bi >= lb) & (bi < ub)                  # [..., q/2]
+        mods = [int(m) for m in self.rgsw_w.basis.moduli]
+        m = jnp.zeros(b.shape + (2, big_n), jnp.uint32)
+        for t, qi in enumerate(mods):
+            vals = jnp.where(inside, jnp.uint32(lv % qi),
+                             jnp.uint32(uv % qi))
+            m = m.at[..., t, ::factor].set(vals)
+        return m
+
+    def _extract_and_switch_wide(self, acc0, acc1, extra_b: int, p: int,
+                                 to_q: int | None = None):
+        """INTT the accumulator, Garner-reconstruct mod Q on host, build
+        the transposed LWE sample, add `extra_b`, and switch to (n, q)."""
+        from openfhe_tpu.binfhe import rgsw_wide
+        params = self.rgsw_w
+        bw = params.basis
+        big_q, big_n = self.Q, self.N
+        p0 = ntt_inv(acc0, bw)
+        p1 = ntt_inv(acc1, bw)
+        h0, l0 = rgsw_wide.garner_pair(params, p0)
+        h1, l1 = rgsw_wide.garner_pair(params, p1)
+        a_int = (np.asarray(h0).astype(np.int64) << 32) \
+            + np.asarray(l0).astype(np.int64)
+        b_int = (np.asarray(h1).astype(np.int64) << 32) \
+            + np.asarray(l1).astype(np.int64)
+        rev = np.concatenate([[0], np.arange(big_n - 1, 0, -1)])
+        a_t = a_int[..., rev].copy()
+        a_t[..., 1:] = (big_q - a_t[..., 1:]) % big_q
+        bb = (b_int[..., 0] + extra_b) % big_q
+        ct = lwe.LWECiphertext(a=a_t, b=bb, modulus=big_q, pt_modulus=p)
+        return lwe.switch_ct_to_qn(self.ks_key, to_q or self.q, ct)
+
+    def _bootstrap_core_wide(self, ct, gate: BINGATE, p: int,
+                             extra_b: int):
+        from openfhe_tpu.binfhe import rgsw_wide
+        params = self.rgsw_w.replace(q_lwe=int(ct.modulus))
+        bw = params.basis
+        m = self._test_vector_wide(ct.b, gate, p)
+        acc1 = ntt_fwd(m, bw)
+        acc0 = jnp.zeros_like(acc1)
+        acc0, acc1 = rgsw_wide.eval_acc_cggi_wide(params, self.bt_key,
+                                                  acc0, acc1, ct.a)
+        return self._extract_and_switch_wide(acc0, acc1, extra_b,
+                                             p).replace(pt_modulus=p)
+
     def _bootstrap_core(self, ct, gate: BINGATE, p: int = 4):
         """Init accumulator with the test vector, run blind rotation,
         extract the constant coefficient as an LWE sample mod Q."""
@@ -301,6 +405,9 @@ class BinFHEContext:
         if gate in (BINGATE.XOR, BINGATE.XNOR, BINGATE.XOR_FAST,
                     BINGATE.XNOR_FAST):
             cct = lwe.eval_add(cct, cct)
+        if getattr(self, "wide", False):
+            return self._bootstrap_core_wide(
+                cct, gate, 4, extra_b=(self.Q >> 3) + 1)
         ct_ext = self._bootstrap_core(cct, gate)
         # map back to mod-2 arithmetic: b += Q/8 + 1 (p = 4)
         bq = jnp.uint32(self.Q)
@@ -321,6 +428,9 @@ class BinFHEContext:
         for c in cts[1:]:
             acc = lwe.eval_add(acc, c)
         p = cts[0].pt_modulus
+        if getattr(self, "wide", False):
+            return self._bootstrap_core_wide(
+                acc, gate, p, extra_b=self.Q // (2 * p) + 1)
         ct_ext = self._bootstrap_core(acc, gate, p)
         bq = jnp.uint32(self.Q)
         ct_ext = ct_ext.replace(
@@ -342,6 +452,9 @@ class BinFHEContext:
         p = ct.pt_modulus
         cct = ct.replace(b=mo.add_mod(ct.b, jnp.uint32(ct.modulus >> 2),
                                       jnp.uint32(ct.modulus)))
+        if getattr(self, "wide", False):
+            return self._bootstrap_core_wide(
+                cct, BINGATE.AND, p, extra_b=self.Q // (2 * p) + 1)
         ct_ext = self._bootstrap_core(cct, BINGATE.AND, p)
         bq = jnp.uint32(self.Q)
         ct_ext = ct_ext.replace(
@@ -385,6 +498,8 @@ class BinFHEContext:
         if self.bt_key is None:
             raise ValueError("bootstrapping keys have not been generated; "
                              "call BTKeyGen before functional bootstraps")
+        if getattr(self, "wide", False):
+            return self._bootstrap_func_wide(ct, fv_q, fmod, out_mod)
         q_ct, big_q, big_n = ct.modulus, self.Q, self.N
         factor = (2 * big_n) // q_ct
         scale = big_q // fmod
@@ -411,6 +526,36 @@ class BinFHEContext:
         ct_ext = lwe.LWECiphertext(a=a_t, b=p1[..., 0], modulus=big_q,
                                    pt_modulus=ct.pt_modulus)
         return lwe.switch_ct_to_qn(self.ks_key, out_mod or fmod, ct_ext)
+
+    def _bootstrap_func_wide(self, ct, fv_q: np.ndarray, fmod: int,
+                             out_mod: int | None = None):
+        """Composite-Q variant of _bootstrap_func: the LUT test vector is
+        built directly in 2-tower residues."""
+        from openfhe_tpu.binfhe import rgsw_wide
+        q_ct, big_q, big_n = int(ct.modulus), self.Q, self.N
+        params = self.rgsw_w.replace(q_lwe=q_ct)
+        bw = params.basis
+        factor = (2 * big_n) // q_ct
+        scale = big_q // fmod
+        fv_int = (fv_q.astype(object) % fmod) * scale % big_q
+        q_half = q_ct >> 1
+        bi = mo.sub_mod(ct.b[..., None],
+                        jnp.arange(q_half, dtype=jnp.uint32),
+                        jnp.uint32(q_ct))
+        mods = [int(m) for m in bw.moduli]
+        m = jnp.zeros(ct.b.shape + (2, big_n), jnp.uint32)
+        for t, qi in enumerate(mods):
+            fv_t = jnp.asarray(
+                np.array([int(v) % qi for v in fv_int], np.uint32))
+            vals = jnp.take(fv_t, bi, axis=-1)
+            m = m.at[..., t, ::factor].set(vals)
+        acc1 = ntt_fwd(m, bw)
+        acc0 = jnp.zeros_like(acc1)
+        acc0, acc1 = rgsw_wide.eval_acc_cggi_wide(params, self.bt_key,
+                                                  acc0, acc1, ct.a)
+        return self._extract_and_switch_wide(acc0, acc1, 0,
+                                             ct.pt_modulus,
+                                             to_q=out_mod or fmod)
 
     @staticmethod
     def _check_input_function(lut: np.ndarray, q: int) -> int:

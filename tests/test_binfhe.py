@@ -230,3 +230,56 @@ def test_lmkcdey_scan_matches_host_schedule():
                 params, bank, perm, sched, acc0, acc1)
             assert jnp.array_equal(got0, ref0), (n, big_n, q, trial)
             assert jnp.array_equal(got1, ref1), (n, big_n, q, trial)
+
+
+def test_wide_garner_digits_roundtrip():
+    """Composite-Q (2-tower) Garner reconstruction + balanced digit
+    extraction: sum(r_j * B^(j+1)) must reconstruct the centered value up
+    to the dropped first digit (|err| < B/2), exactly mirroring the
+    approximate decomposition contract of rgsw.signed_digit_decompose."""
+    from openfhe_tpu.binfhe import rgsw_wide
+    params = rgsw_wide.make_rgsw_wide_params(
+        n_lwe=8, ring_dim=64, q_bits=34, q_lwe=128, base_g=1 << 7)
+    big_q = params.big_q
+    assert big_q.bit_length() >= 33
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, big_q, size=64, dtype=np.int64)
+    mods = [int(m) for m in params.basis.moduli]
+    res = jnp.asarray(np.stack([x % m for m in mods]).astype(np.uint32))
+    hi, lo = rgsw_wide.garner_pair(params, res)
+    got = (np.asarray(hi).astype(np.int64) << 32) + np.asarray(lo)
+    assert np.array_equal(got, x)
+    digits = rgsw_wide.signed_digits_pair(params, hi, lo)
+    acc = np.zeros(64, dtype=object)
+    b = params.base_g
+    for j, r in enumerate(digits):
+        acc += np.asarray(r).astype(object) * (b ** (j + 1))
+    centered = np.where(x >= big_q // 2, x - big_q, x).astype(object)
+    # compare mod Q: a boundary value's top digit may wrap by exactly Q,
+    # which the gadget algebra (all mod Q) absorbs
+    err = np.array([min(int(d := (a - c) % big_q), big_q - int(d))
+                    for a, c in zip(acc, centered)])
+    assert err.max() < b // 2 + 1
+
+
+def test_wide_ginx_gates():
+    """Composite-Q GINX end to end at a small custom shape (the STD192
+    class runs the same code with Q ~ 2^37; reference rows are
+    NATIVE_SIZE=64)."""
+    from openfhe_tpu.binfhe.constants import BINFHE_METHOD
+    cc = BinFHEContext(seed=5).GenerateBinFHEContextCustom(
+        n=16, N=256, q=512, q_bits=34, base_ks=25, base_g=1 << 9,
+        method=BINFHE_METHOD.GINX)
+    assert cc.wide and cc.Q.bit_length() >= 33
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    m1 = jnp.array([0, 0, 1, 1], jnp.uint32)
+    m2 = jnp.array([0, 1, 0, 1], jnp.uint32)
+    ct1 = cc.Encrypt(sk, m1)
+    ct2 = cc.Encrypt(sk, m2)
+    for gate, fn in ((BINGATE.AND, lambda a, b: a & b),
+                     (BINGATE.OR, lambda a, b: a | b),
+                     (BINGATE.XOR, lambda a, b: a ^ b)):
+        got = cc.Decrypt(sk, cc.EvalBinGate(gate, ct1, ct2))
+        want = fn(np.asarray(m1), np.asarray(m2))
+        assert np.array_equal(got, want), (gate, got, want)
