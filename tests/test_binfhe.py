@@ -283,3 +283,20 @@ def test_wide_ginx_gates():
         got = cc.Decrypt(sk, cc.EvalBinGate(gate, ct1, ct2))
         want = fn(np.asarray(m1), np.asarray(m2))
         assert np.array_equal(got, want), (gate, got, want)
+
+
+def test_wide_eval_func():
+    """Functional bootstrap through the composite-Q ring (the sweep runs
+    EvalFunc x^2 mod 4 at STD192)."""
+    from openfhe_tpu.binfhe.constants import BINFHE_METHOD
+    cc = BinFHEContext(seed=5).GenerateBinFHEContextCustom(
+        n=16, N=512, q=1024, q_bits=34, base_ks=25, base_g=1 << 9,
+        method=BINFHE_METHOD.GINX)
+    assert cc.wide
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    p = 4
+    lut = cc.GenerateLUTviaFunction(lambda m, pp: (m * m) % pp, p)
+    ct = cc.Encrypt(sk, np.arange(p, dtype=np.uint32), p=p)
+    got = cc.Decrypt(sk, cc.EvalFunc(ct, lut), p=p)
+    assert np.array_equal(got, (np.arange(p) ** 2) % p), got
