@@ -430,25 +430,37 @@ def bench_boot16():
                  aux_mod_size=26,
                  security_level=SecurityLevel.HEStd_NotSet,
                  scaling_technique=ScalingTechnique.COMPOSITESCALINGAUTO)
+    def note(msg, _t0=[time.perf_counter()]):
+        # stderr breadcrumbs: a partial boot16 run must leave evidence of
+        # how far it got (round-4: the section failed with nothing kept)
+        print(f"# boot16 +{time.perf_counter() - _t0[0]:.0f}s: {msg}",
+              file=sys.stderr, flush=True)
+
     cc = GenCryptoContext(p, seed=7)
     cc.Enable(PKESchemeFeature.PKE | PKESchemeFeature.KEYSWITCH
               | PKESchemeFeature.LEVELEDSHE | PKESchemeFeature.ADVANCEDSHE
               | PKESchemeFeature.FHE)
+    note("context generated")
     cc.EvalBootstrapSetup(level_budget=(3, 3), slots=slots)
+    note("bootstrap setup done")
     kp = cc.KeyGen()
     cc.EvalMultKeyGen(kp.secret_key)
     cc.EvalBootstrapKeyGen(kp.secret_key, slots)
+    note("keys generated")
     rng = np.random.default_rng(0)
     z = rng.uniform(-0.5, 0.5, size=slots)
     pt = cc.MakeCKKSPackedPlaintext(z, slots=slots)
     ct = cc.Encrypt(kp.public_key, pt)
     ct = cc.LevelReduce(ct, cc.params.mult_depth - 2)
+    note("encrypted; starting warm-up bootstrap (compiles)")
     out = cc.EvalBootstrap(ct)
     jax.block_until_ready(out.elements[0])
+    note("warm-up bootstrap done; timing")
     t0 = time.perf_counter()
     out = cc.EvalBootstrap(ct)
     jax.block_until_ready(out.elements[0])
     dt = time.perf_counter() - t0
+    note(f"timed bootstrap done ({dt:.1f}s); decrypting")
     import numpy as _np
     dec = cc.Decrypt(kp.secret_key, out)
     err = float(_np.max(_np.abs(
