@@ -185,9 +185,17 @@ def mod_switch(q_to: int, ct: LWECiphertext) -> LWECiphertext:
     Needs ~42-bit intermediates; host int64 for now (gate-boundary op).
     """
     q_from = ct.modulus
+    # x * 2*q_to + q_from can overflow int64 for composite-Q wide rings
+    # (50-bit Q x 2^18 q_ks); exact Python-int math via object dtype then
+    exact = (int(q_from).bit_length() + int(q_to).bit_length() + 1) >= 62
 
     def rq(v):
-        x = np.asarray(v).astype(np.int64)
+        x = np.asarray(v)
+        if exact:
+            xo = x.astype(object)
+            r = (xo * (2 * q_to) + q_from) // (2 * q_from) % q_to
+            return jnp.asarray(r.astype(np.int64)).astype(jnp.uint32)
+        x = x.astype(np.int64)
         return jnp.asarray(((x * q_to * 2 + q_from) // (2 * q_from))
                            % q_to).astype(jnp.uint32)
 
