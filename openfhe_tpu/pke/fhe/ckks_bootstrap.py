@@ -79,7 +79,17 @@ def _adaptive_k(n: int, secret_dist) -> int:
     negligible. The reference uses a fixed K_UNIFORM=512 (ckksrns-fhe.h:424),
     which this matches at N=2^16; sizing by N preserves precision at small N
     (K directly divides the message's signal-to-noise budget).
+
+    SPARSE_TERNARY secrets (hamming weight 192, rns_pke.keygen) bound
+    |I| by the weight instead of N: std ~ sqrt((h+1)/12), giving the
+    reference's K_SPARSE = 28 class (ckksrns-fhe.h:418) — a ~18x smaller
+    sine range at N=2^16, so a far cheaper EvalMod and a larger message
+    signal per slot.
     """
+    from openfhe_tpu.pke.constants import SecretKeyDist
+    if secret_dist == SecretKeyDist.SPARSE_TERNARY:
+        h = 192
+        return max(16, math.ceil(7.0 * math.sqrt((h + 1) / 12.0)))
     sigma = math.sqrt(n / 18.0)
     return max(16, math.ceil(7.0 * sigma))
 

@@ -222,3 +222,39 @@ def test_bootstrap_mixed_budget(budget):
     ct2 = cc.EvalBootstrap(ct)
     dec = cc.Decrypt(kp.secret_key, ct2)
     assert calculate_approximation_error(dec.values, x) > 4.0
+
+
+def test_bootstrap_sparse_secret():
+    """SPARSE_TERNARY secrets bound the mod-raise overflow by the hamming
+    weight (reference K_SPARSE=28 vs K_UNIFORM=512, ckksrns-fhe.h:418):
+    the sine range shrinks ~18x at production rings, so EvalMod gets
+    cheaper AND the per-slot signal grows. The bootstrap must work with
+    the sparse K bound and clear >= 10 bits."""
+    from openfhe_tpu.pke.constants import (ScalingTechnique, SecretKeyDist,
+                                           Scheme, SecurityLevel)
+    from openfhe_tpu.pke.fhe.ckks_bootstrap import _adaptive_k
+    assert _adaptive_k(1 << 16, SecretKeyDist.SPARSE_TERNARY) <= 32
+    n, slots = 512, 64
+    p = CCParams(
+        scheme=Scheme.CKKSRNS_SCHEME, ring_dim=n, mult_depth=18,
+        scaling_mod_size=50, first_mod_size=51, aux_mod_size=26,
+        secret_key_dist=SecretKeyDist.SPARSE_TERNARY,
+        security_level=SecurityLevel.HEStd_NotSet,
+        scaling_technique=ScalingTechnique.COMPOSITESCALINGAUTO)
+    cc = GenCryptoContext(p, seed=7)
+    cc.Enable(PKESchemeFeature.PKE | PKESchemeFeature.KEYSWITCH
+              | PKESchemeFeature.LEVELEDSHE | PKESchemeFeature.ADVANCEDSHE
+              | PKESchemeFeature.FHE)
+    cc.EvalBootstrapSetup(level_budget=(2, 2), slots=slots)
+    kp = cc.KeyGen()
+    cc.EvalMultKeyGen(kp.secret_key)
+    cc.EvalBootstrapKeyGen(kp.secret_key, slots)
+    rng = np.random.default_rng(0)
+    z = rng.uniform(-0.5, 0.5, slots)
+    ct = cc.Encrypt(kp.public_key,
+                    cc.MakeCKKSPackedPlaintext(z, slots=slots))
+    ct = cc.LevelReduce(ct, 16)
+    out = cc.EvalBootstrap(ct)
+    dec = cc.Decrypt(kp.secret_key, out)
+    prec = calculate_approximation_error(dec.values[:slots], z)
+    assert prec >= 10.0, f"sparse-secret bootstrap {prec:.1f} bits"
