@@ -179,12 +179,64 @@ def eval_not(ct: LWECiphertext) -> LWECiphertext:
                       b=mo.sub_mod(jnp.uint32(q // 4), ct.b, jnp.uint32(q)))
 
 
+def _div_u64_by_u32(hi, lo, d: int):
+    """floor((hi*2^32 + lo) / d) for uint32 pair tensors and a constant
+    d < 2^31, entirely on 32-bit lanes: float32 estimate + exact pair
+    correction (est error < 1 for the ~2^43 numerators of mod-switch)."""
+    c_hi = np.float32((1 << 32) / d)
+    c_lo = np.float32(1.0 / d)
+    est = (hi.astype(jnp.float32) * c_hi
+           + lo.astype(jnp.float32) * c_lo).astype(jnp.uint32)
+    # r = n - est*d as a signed two's-complement pair; nudge est until
+    # 0 <= r < d (the float estimate is within +-3)
+    d_u = jnp.uint32(d)
+    ph, pl = mo.umul32_hilo(est, d_u)
+    rl = lo - pl
+    rh = hi - ph - (lo < pl).astype(jnp.uint32)
+    for _ in range(3):
+        neg = (rh >> 31) == 1                   # r < 0: est too big
+        ge = (~neg) & ((rh != 0) | (rl >= d_u))  # r >= d: est too small
+        rl_a = rl + d_u
+        rh_a = rh + (rl_a < rl).astype(jnp.uint32)
+        rl_s = rl - d_u
+        rh_s = rh - (rl < d_u).astype(jnp.uint32)
+        est = jnp.where(neg, est - 1, jnp.where(ge, est + 1, est))
+        rl = jnp.where(neg, rl_a, jnp.where(ge, rl_s, rl))
+        rh = jnp.where(neg, rh_a, jnp.where(ge, rh_s, rh))
+    return est
+
+
+def mod_switch_device(q_to: int, ct: LWECiphertext) -> LWECiphertext:
+    """Device-side Round(v * q_to / q_from): v*q_to as a 32-bit pair,
+    constant division via float32 estimate + exact correction. Keeps the
+    gate hot path free of host round trips (mod-switch runs twice per
+    gate batch; the host D2H was both a throughput sink and the source
+    of run-to-run gates/s variance on a degraded transfer path)."""
+    q_from = int(ct.modulus)
+    half = q_from >> 1
+
+    def rq(v):
+        hi, lo = mo.umul32_hilo(jnp.asarray(v, jnp.uint32),
+                                jnp.uint32(q_to))
+        lo2 = lo + jnp.uint32(half)
+        hi = hi + (lo2 < lo).astype(jnp.uint32)
+        q = _div_u64_by_u32(hi, lo2, q_from)
+        return q % jnp.uint32(q_to)
+
+    return ct.replace(a=rq(ct.a), b=rq(ct.b), modulus=q_to)
+
+
 def mod_switch(q_to: int, ct: LWECiphertext) -> LWECiphertext:
     """Round(v * q_to / q_from) per entry (lwe-pke.cpp:242 RoundqQ).
 
-    Needs ~42-bit intermediates; host int64 for now (gate-boundary op).
+    Narrow moduli (q_from < 2^31 with uint32 inputs) stay on device;
+    composite-Q wide rings use exact host integers.
     """
     q_from = ct.modulus
+    if (int(q_from) < (1 << 31) and int(q_to) < (1 << 31)
+            and hasattr(ct.a, "dtype")
+            and ct.a.dtype in (jnp.uint32, np.uint32)):
+        return mod_switch_device(q_to, ct)
     # x * 2*q_to + q_from can overflow int64 for composite-Q wide rings
     # (50-bit Q x 2^18 q_ks); exact Python-int math via object dtype then
     exact = (int(q_from).bit_length() + int(q_to).bit_length() + 1) >= 62

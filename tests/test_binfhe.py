@@ -300,3 +300,22 @@ def test_wide_eval_func():
     ct = cc.Encrypt(sk, np.arange(p, dtype=np.uint32), p=p)
     got = cc.Decrypt(sk, cc.EvalFunc(ct, lut), p=p)
     assert np.array_equal(got, (np.arange(p) ** 2) % p), got
+
+
+def test_mod_switch_device_exact():
+    """Device-side mod switch (float32-estimate + exact pair correction)
+    is bit-exact vs the int64 rounding oracle across gate-shaped modulus
+    pairs — it runs twice in every gate's hot path, so no host round
+    trips and no approximation allowed."""
+    from openfhe_tpu.binfhe import lwe
+    rng = np.random.default_rng(0)
+    for qf, qt in ((134215681, 32768), (134215681, 1024), (32768, 1024),
+                   (268369921, 2048), (12289, 512)):
+        x = rng.integers(0, qf, size=4096, dtype=np.int64)
+        x[:5] = [0, 1, qf - 1, qf // 2, qf // 2 + 1]
+        ct = lwe.LWECiphertext(a=jnp.asarray(x.astype(np.uint32)),
+                               b=jnp.asarray(x[:1].astype(np.uint32)),
+                               modulus=qf, pt_modulus=4)
+        got = np.asarray(lwe.mod_switch(qt, ct).a)
+        want = ((x * qt * 2 + qf) // (2 * qf)) % qt
+        assert np.array_equal(got, want), (qf, qt)
