@@ -214,7 +214,20 @@ class BinFHEContext:
                 rgsw.lmkcdey_key_bank(self.rgsw, rgsw_keys, auto_keys, w),
                 jnp.asarray(rgsw.lmkcdey_perm_table(self.rgsw, w)),
                 w)
-            self._lmk_scan = jax.jit(rgsw.eval_acc_lmkcdey_scan)
+            self._lmk_scan_cache = {}
+
+    def _lmk_scan(self, params, key_bank, perm_table, sched, c0, c1):
+        """Jitted LMKCDEY scan with params CLOSED OVER (not traced): the
+        small-ring MXU NTT (ops/ntt_small.py) builds its dense transform
+        tables from concrete basis values on host, so params.basis must be
+        a trace-time constant, not a traced pytree argument."""
+        fn = self._lmk_scan_cache.get(params.q_lwe)
+        if fn is None:
+            fn = jax.jit(lambda kb, pt, s, a0, a1:
+                         rgsw.eval_acc_lmkcdey_scan(params, kb, pt, s,
+                                                    a0, a1))
+            self._lmk_scan_cache[params.q_lwe] = fn
+        return fn(key_bank, perm_table, sched, c0, c1)
 
     def _eval_acc(self, acc0, acc1, a, q_lwe: int | None = None):
         """Dispatch blind rotation on the configured method."""

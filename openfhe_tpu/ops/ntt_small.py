@@ -131,6 +131,21 @@ def _pick_tiles(n: int, rows: int):
     tb = min(tb, rows)
     while 16 * tb * dt * 4 > (6 << 20):                # dot blocks < 6 MB
         tb //= 2
+    # total scoped-VMEM bound (v5e: 16 MB): w and x blocks are
+    # double-buffered across grid steps; dots, limb splits, and the out
+    # block are scratch. At N=2048 the per-block bounds above pass but
+    # the sum hits 17 MB and Mosaic rejects the kernel (STD192-class
+    # binfhe rings; seen as HTTP 500 "scoped vmem limit exceeded").
+    def scoped(dt, tb):
+        return (2 * m1.NL * dt * n + 2 * tb * n * 4     # w, x (dbuf)
+                + 16 * tb * dt * 4                      # dot blocks
+                + m1.NL * tb * n                        # int8 limb split
+                + 2 * tb * dt * 4)                      # out (dbuf)
+    while scoped(dt, tb) > (14 << 20) and (dt > 256 or tb > 8):
+        if dt > 256:
+            dt //= 2
+        else:
+            tb //= 2
     return dt, tb
 
 

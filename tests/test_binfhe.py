@@ -319,3 +319,31 @@ def test_mod_switch_device_exact():
         got = np.asarray(lwe.mod_switch(qt, ct).a)
         want = ((x * qt * 2 + qf) // (2 * qf)) % qt
         assert np.array_equal(got, want), (qf, qt)
+
+
+def test_lmkcdey_jitted_scan_with_dense_ntt(monkeypatch):
+    """Round-5 TPU-sweep regression: the context's jitted LMKCDEY scan must
+    close params OVER the jit (context._lmk_scan) — the small-ring dense
+    MXU NTT (ops/ntt_small) builds its transform tables from concrete
+    basis values on host, so a traced params pytree raises
+    TracerArrayConversionError at every STD*_LMKCDEY paramset on TPU.
+    Forcing ntt_small.supported() True reproduces the trace-time table
+    build on CPU (the jnp _mat_ref path keeps it runnable here)."""
+    from openfhe_tpu.binfhe.constants import BINFHE_METHOD
+    from openfhe_tpu.ops import ntt_small
+
+    real_supported = ntt_small.supported
+    monkeypatch.setattr(
+        ntt_small, "supported",
+        lambda b: b.ring_dim >= 128 and len(b.moduli) <= 4
+        or real_supported(b))
+    cc = BinFHEContext(seed=3).GenerateBinFHEContextCustom(
+        n=16, N=256, q=128, q_bits=27, base_ks=25, base_g=512,
+        method=BINFHE_METHOD.LMKCDEY, num_auto_keys=10)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    m1 = jnp.array([0, 0, 1, 1], jnp.uint32)
+    m2 = jnp.array([0, 1, 0, 1], jnp.uint32)
+    got = cc.Decrypt(sk, cc.EvalBinGate(BINGATE.AND, cc.Encrypt(sk, m1),
+                                        cc.Encrypt(sk, m2)))
+    assert np.array_equal(got, np.asarray(m1) & np.asarray(m2))

@@ -76,3 +76,38 @@ def test_mat_ntt_dtile_interpret():
                               256, 8, interpret=True)[:, :2]
     want = np.asarray(_ntt_fwd_vpu(x, b))
     np.testing.assert_array_equal(np.asarray(jnp.moveaxis(out, 0, 1)), want)
+
+
+def test_pick_tiles_scoped_vmem_budget():
+    """Tile picks must keep the kernel's total scoped VMEM (double-buffered
+    w/x/out blocks + dot and limb scratch) under the 16 MB v5e limit.
+    Round-5 regression: at N=2048 (STD192-class binfhe rings) the per-block
+    bounds passed but the sum hit 17 MB and Mosaic rejected the kernel."""
+    from openfhe_tpu.ops import modmatmul as m1
+    for n in (128, 256, 512, 1024, 2048):
+        for rows in (8, 256, 4096, 6656):
+            dt, tb = ntt_small._pick_tiles(n, rows)
+            assert n % dt == 0 and dt >= 128
+            scoped = (2 * m1.NL * dt * n + 2 * tb * n * 4
+                      + 16 * tb * dt * 4 + m1.NL * tb * n
+                      + 2 * tb * dt * 4)
+            assert scoped <= (14 << 20), (n, rows, dt, tb, scoped)
+
+
+def test_n2048_tiles_interpret():
+    """The exact N=2048 2-tower shape that OOM'd on TPU, under the
+    post-clamp tiles (interpret mode, small row count for CPU speed)."""
+    n, k = 2048, 2
+    b = _basis(n, k)
+    rng = np.random.default_rng(9)
+    rows = 8
+    x = rng.integers(0, np.asarray(b.q).min(), (rows, k, n)).astype(np.uint32)
+    import jax.numpy as jnp
+    xk = jnp.moveaxis(jnp.asarray(x), 1, 0)
+    dt, tb = ntt_small._pick_tiles(n, 6656)   # production pick
+    tb = min(tb, rows)
+    tabs = ntt_small._dev_tables(b)
+    out = ntt_small._mat_call(tabs["wf"], xk, tabs["consts"], dt, tb,
+                              interpret=True)
+    want = np.asarray(_ntt_fwd_vpu(x, b))
+    np.testing.assert_array_equal(np.asarray(out), np.moveaxis(want, 1, 0))

@@ -46,10 +46,13 @@ section() {           # section <title> <timeout_s> <cmd...>
   echo "Every section ends with an explicit ok/FAILED/TIMED-OUT marker."
 } > "$OUT"
 
-section "bench.py all"                                    5400 \
-  python bench.py all
+# Order: highest-evidence-value first, so a cut-short run still records
+# the items the audit cares most about (post-fix LMKCDEY sweep, the
+# production-scale bootstrap), with bench.py all last.
+section "binfhe production paramsets (tools/check_binfhe_std.py)" 7500 \
+  python tools/check_binfhe_std.py
 section "bench.py boot16 (production-scale bootstrap, N=2^16)" 5400 \
   python bench.py boot16
-section "binfhe production paramsets (tools/check_binfhe_std.py)" 5400 \
-  python tools/check_binfhe_std.py
+section "bench.py all"                                    5400 \
+  python bench.py all
 echo "recorded to $OUT"
