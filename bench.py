@@ -270,9 +270,12 @@ def bench_binfhe():
             print(f"# batch {batch2} gate bench failed: "
                   f"{type(e).__name__}", file=sys.stderr)
 
-    # LMKCDEY single-gate latency (host-scheduled accumulator: the
-    # automorphism schedule depends on the public a vector, so gates do
-    # not batch — reference binfhe-lmkcdey.cpp measures the same shape)
+    # LMKCDEY gate latency + batch throughput. The blind rotation is ONE
+    # compiled lax.scan over a host-precomputed schedule (the schedule is
+    # a pure function of the public a vector, padded to a bucketed
+    # length), so gates batch exactly like GINX — the reference's
+    # per-gate sequential accumulator (rgsw-acc-lmkcdey.cpp EvalAcc) has
+    # no batched analog
     try:
         cc2 = BinFHEContext()
         cc2.GenerateBinFHEContext("STD128_LMKCDEY", method="LMKCDEY")
@@ -287,6 +290,22 @@ def bench_binfhe():
         jax.block_until_ready(out.a)
         dt = time.perf_counter() - t0
         _emit("binfhe_lmkcdey_std128_gate_latency_ms", dt * 1e3, "ms")
+        batch = 64
+        ba = np.arange(batch) % 2
+        bb = (np.arange(batch) // 2) % 2
+        ca = cc2.Encrypt(sk2, ba)
+        cb = cc2.Encrypt(sk2, bb)
+        out = cc2.EvalBinGate(BINGATE.AND, ca, cb)
+        jax.block_until_ready(out.a)
+        t0 = time.perf_counter()
+        reps = 2
+        for _ in range(reps):
+            out = cc2.EvalBinGate(BINGATE.AND, ca, cb)
+        jax.block_until_ready(out.a)
+        dt = (time.perf_counter() - t0) / reps
+        _emit(f"binfhe_lmkcdey_std128_gates_per_s_batch{batch}",
+              batch / dt, "gates/s",
+              extra={"ms_per_batch": round(dt * 1e3, 2)})
     except Exception as e:   # pragma: no cover
         print(f"# lmkcdey bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)

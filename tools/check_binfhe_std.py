@@ -116,19 +116,27 @@ def run_config(pset, method):
         cb = cc.Encrypt(sk, bb)
         out = cc.EvalBinGate(BINGATE.AND, ca, cb)
         jax.block_until_ready(out.a)
-        t0 = time.perf_counter()
+        # two timing passes: bench.py's and this sweep's recorded numbers
+        # for the SAME op have disagreed up to 3.2x (round-4 verdict weak
+        # #4); printing both passes shows how much of that is device/relay
+        # warm-up inside one process vs anything structural
+        dts = []
         reps = 3
-        for _ in range(reps):
-            out = cc.EvalBinGate(BINGATE.AND, ca, cb)
-        jax.block_until_ready(out.a)
-        dt = (time.perf_counter() - t0) / reps
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = cc.EvalBinGate(BINGATE.AND, ca, cb)
+            jax.block_until_ready(out.a)
+            dts.append((time.perf_counter() - t0) / reps)
+        dt = min(dts)
         got = np.asarray(cc.Decrypt(sk, out)) % 2
         ok = np.array_equal(got, (ba & bb) % 2)
         failures += not ok
         print(f"{pset:16s} {method:8s} AND batch{batch}: "
               f"{batch/dt:8.1f} gates/s ({dt*1e3/batch:.2f} ms/gate) "
               f"{'PASS' if ok else 'FAIL'}  [btkeygen {t_btk:.1f}s "
-              f"cold / {t_btk_warm:.1f}s warm]")
+              f"cold / {t_btk_warm:.1f}s warm; passes "
+              f"{', '.join(f'{batch/d:.1f}' for d in dts)} gates/s]")
         if failures:
             raise RuntimeError(f"{failures} gate failures")
 
